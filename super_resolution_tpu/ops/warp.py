@@ -55,10 +55,14 @@ def translate(
     pad = [(0, 0)] * (x.ndim - 2) + [(p, p), (p, p)]
     xp = jnp.pad(x, pad)
 
+    zero = jnp.zeros((), dtype=jnp.int32)
+
     def shifted(a: int, b: int) -> jnp.ndarray:
         # src(r - iy - a, c - ix - b), zero outside: slice the padded array
         # starting at (p - iy - a, p - ix - b).
-        starts = [0] * (x.ndim - 2) + [p - iy - a, p - ix - b]
+        r0 = (p - a - iy).astype(jnp.int32)
+        c0 = (p - b - ix).astype(jnp.int32)
+        starts = [zero] * (x.ndim - 2) + [r0, c0]
         return lax.dynamic_slice(xp, starts, x.shape)
 
     wy = (1.0 - fy, fy)
