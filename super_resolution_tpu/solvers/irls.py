@@ -1,0 +1,205 @@
+"""IRLS MAP solver — the production solver (TPU-native equivalent of
+``src/optimization/irls_map_solver.cpp``).
+
+Algorithm (``RunIRLSLoop``, ``irls_map_solver.cpp:45-157``):
+
+1. Initialize per-regularizer IRLS weights to 1.
+2. Inner solve: minimize ``s^2 sum_k ||A_k x - y_k||^2 + sum_r lambda_r
+   sum_i w_i r_i(x)^2`` with matrix-free CG or L-BFGS — here one jitted
+   ``lax.while_loop`` computation (see :mod:`least_squares`), reused without
+   retracing across IRLS iterations (weights are traced arguments).
+3. Reweight ``w_i = 1 / max(1e-5, r_i)`` — L1-via-weighted-L2
+   (``irls_map_solver.cpp:128-143``, ``kMinResidualValue`` at :34).
+4. Repeat until ``|cost_k - cost_{k+1}| < irls_cost_difference_threshold``
+   (adaptively scaled) or ``max_num_irls_iterations``.
+
+``split_channels`` solves each channel independently
+(``irls_map_solver.cpp:200-262``) — the seam for band-axis sharding of
+hyperspectral stacks.
+
+The outer IRLS loop runs on the host (<= 20 cheap iterations around a fully
+compiled inner solve), keeping per-iteration logging trivial; the frame loop
+inside the data term is a vmap (the reference's serial ``for image_index``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from super_resolution_tpu.image.image_data import ImageData
+from super_resolution_tpu.models.image_model import ImageModel
+from super_resolution_tpu.solvers.least_squares import minimize
+from super_resolution_tpu.solvers.map_solver import IRLSMapSolverOptions
+from super_resolution_tpu.solvers.objective import make_map_value_and_grad
+
+__all__ = ["IRLSMapSolver", "IRLSMapSolverOptions"]
+
+# Minimum residual for IRLS reweighting (``irls_map_solver.cpp:34``).
+_MIN_RESIDUAL = 1e-5
+
+
+def _as_chw(image) -> jnp.ndarray:
+    arr = getattr(image, "array", image)
+    arr = jnp.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[None]
+    return arr
+
+
+class IRLSMapSolver:
+    """MAP super-resolution solver with IRLS-reweighted regularization."""
+
+    def __init__(
+        self,
+        options: IRLSMapSolverOptions,
+        image_model: ImageModel,
+        low_res_images,
+        print_solver_output: bool = False,
+    ):
+        self.options = options
+        self.image_model = image_model
+        self.verbose = print_solver_output
+
+        stack = [_as_chw(img) for img in low_res_images]
+        if not stack:
+            raise ValueError("Cannot super-resolve with 0 low-res images.")
+        c = stack[0].shape[0]
+        for s in stack[1:]:
+            if s.shape != stack[0].shape:
+                raise ValueError("All LR images must have identical shapes.")
+        self.observations = jnp.stack(stack)  # [K, C, h, w]
+        self.num_channels = c
+        scale = image_model.downsampling_scale
+        h, w = stack[0].shape[-2], stack[0].shape[-1]
+        self.hr_shape = (c, h * scale, w * scale)
+        self.scale = scale
+
+        motion = image_model.motion_operator
+        k = self.observations.shape[0]
+        if motion is not None:
+            arr = motion.motion_sequence.as_array()
+            if arr.shape[0] < k:
+                raise ValueError("Fewer motion shifts than LR frames.")
+            self.shifts = jnp.asarray(arr[:k])
+            self.max_shift = motion.max_shift
+        else:
+            self.shifts = jnp.zeros((k, 2))
+            self.max_shift = 2
+
+        blur = image_model.blur_operator
+        self.blur_kernel = None if blur is None else jnp.asarray(blur.kernel)
+
+        self.regularizers: list[tuple[object, float]] = []
+
+    def add_regularizer(self, regularizer, parameter: float) -> None:
+        """(regularizer, lambda) pair (``map_solver.cpp:88-94``)."""
+        self.regularizers.append((regularizer, float(parameter)))
+
+    @property
+    def regularization_parameter_sum(self) -> float:
+        return sum(lam for _, lam in self.regularizers)
+
+    def solve(self, initial_estimate):
+        """Run the solver; returns the same type as the input estimate."""
+        x_full = _as_chw(initial_estimate)
+        if x_full.shape != self.hr_shape:
+            raise ValueError(
+                f"Initial estimate shape {x_full.shape} != expected {self.hr_shape}"
+            )
+
+        c = self.num_channels
+        channels_per_split = 1 if self.options.split_channels else c
+        num_rounds = c // channels_per_split
+        num_pixels = self.hr_shape[1] * self.hr_shape[2]
+        num_data_points = channels_per_split * num_pixels
+
+        # Adaptive threshold scaling (``irls_map_solver.cpp:214-216``).
+        import dataclasses
+
+        opts = dataclasses.replace(self.options)
+        opts.adjust_thresholds_adaptively(
+            num_data_points, self.regularization_parameter_sum
+        )
+
+        results = []
+        inner = self._build_inner_solver(channels_per_split, opts)
+        for i in range(num_rounds):
+            ch0 = i * channels_per_split
+            ch1 = ch0 + channels_per_split
+            x0 = x_full[ch0:ch1]
+            obs = self.observations[:, ch0:ch1]
+            x = self._run_irls_loop(inner, x0, obs, opts)
+            results.append(x)
+        out = jnp.concatenate(results, axis=0)
+        if isinstance(initial_estimate, ImageData):
+            result = ImageData(
+                out, normalize="never", channel_major=True,
+                spectral_mode=initial_estimate.spectral_mode,
+            )
+            return result
+        return out
+
+    # ------------------------------------------------------------------ internals
+
+    def _build_inner_solver(self, channels_per_split: int, opts):
+        regs = tuple(self.regularizers)
+        kernel = self.blur_kernel
+        scale = self.scale
+        max_shift = self.max_shift
+        diff_mode = opts.diff_mode
+
+        def inner(x0, observations, shifts, weights):
+            vg_full = make_map_value_and_grad(
+                observations, shifts, kernel, scale, regs,
+                max_shift=max_shift, diff_mode=diff_mode,
+            )
+            return minimize(
+                lambda x: vg_full(x, weights),
+                x0,
+                method=opts.least_squares_solver,
+                max_iterations=opts.max_num_solver_iterations,
+                gradient_norm_threshold=opts.gradient_norm_threshold,
+                cost_decrease_threshold=opts.cost_decrease_threshold,
+                parameter_variation_threshold=opts.parameter_variation_threshold,
+                memory=opts.num_lbfgs_hessian_corrections,
+            )
+
+        return jax.jit(inner)
+
+    def _run_irls_loop(self, inner, x0, observations, opts):
+        regs = self.regularizers
+        weights = tuple(jnp.ones_like(x0) for _ in regs)
+        x = x0
+        prev_cost = float("inf")
+        iteration = 0
+        while True:
+            result = inner(x, observations, self.shifts, weights)
+            x, cost = result.x, float(result.cost)
+            if not regs:
+                if self.verbose:
+                    print("Least squares done (no regularization terms to reweight).")
+                break
+            new_weights = []
+            for (reg, _), _w in zip(regs, weights):
+                r = reg.residuals(x)
+                new_weights.append(1.0 / jnp.maximum(_MIN_RESIDUAL, r))
+            weights = tuple(new_weights)
+            cost_difference = prev_cost - cost
+            prev_cost = cost
+            iteration += 1
+            if self.verbose:
+                print(
+                    f"IRLS Iteration complete (#{iteration}). New loss is {cost} "
+                    f"with a difference of {cost_difference}."
+                )
+            if abs(cost_difference) < opts.irls_cost_difference_threshold:
+                break
+            if (
+                opts.max_num_irls_iterations > 0
+                and iteration >= opts.max_num_irls_iterations
+            ):
+                break
+        return x
