@@ -1,0 +1,115 @@
+"""Benchmark: MAP solver throughput at 4x upscale on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mpixel-iters/s/chip", "vs_baseline": N}
+
+The metric counts CG iterations x HR pixels per second for the full MAP
+objective (4-frame degrade + adjoint gradient + IRLS-weighted TV) on the
+dallas 4x configuration from BASELINE.json. The reference publishes no
+numbers (BASELINE.md), so ``vs_baseline`` is measured against this machine's
+CPU backend running the identical computation — a stand-in for the
+reference's single-process CPU execution model.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _build_problem(dtype):
+    import cv2
+    import jax.numpy as jnp
+
+    from super_resolution_tpu.models import ImageModel, ImageModelParameters
+    from super_resolution_tpu.motion import MotionShiftSequence
+
+    gt = cv2.imread("/root/reference/test_data/dallas_qtr.jpg", cv2.IMREAD_GRAYSCALE)
+    gt = jnp.asarray(gt.astype(np.float32) / 255.0, dtype)[None]  # [1, 250, 250]
+    # Trim to a 4x-divisible size: 248 x 248 HR -> 62 x 62 LR.
+    gt = gt[:, :248, :248]
+    scale = 4
+    seq = MotionShiftSequence([(0, 0), (1, 1), (0, 1), (1, 0)])
+    model = ImageModel.create(
+        ImageModelParameters(scale=scale, blur_radius=3, blur_sigma=1.5, motion_sequence=seq)
+    )
+    # LR frames degraded from the (downsized) ground truth; HR estimate at 4x
+    # the LR size = 248 x 248? No: solve at the *original* resolution — LR is
+    # gt decimated; the solver reconstructs HR of gt's size.
+    observations = jnp.stack([model.apply(gt, k) for k in range(4)])
+    shifts = jnp.asarray(seq.as_array(), dtype)
+    kernel = jnp.asarray(model.blur_operator.kernel, dtype)
+    x0 = jnp.zeros_like(gt)
+    return x0, observations, shifts, kernel, scale
+
+
+def _run(device, iters, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+    from super_resolution_tpu.solvers import make_map_value_and_grad, minimize
+
+    with jax.default_device(device):
+        x0, observations, shifts, kernel, scale = _build_problem(dtype)
+        tv = TotalVariationRegularizer()
+        weights = (jnp.ones_like(x0),)
+
+        @jax.jit
+        def solve(x0, observations, shifts, weights):
+            vg = make_map_value_and_grad(
+                observations, shifts, kernel, scale, [(tv, 0.01)], max_shift=3
+            )
+            # Zero thresholds: run exactly `iters` CG iterations for timing.
+            return minimize(
+                lambda x: vg(x, weights),
+                x0,
+                method="cg",
+                max_iterations=iters,
+                gradient_norm_threshold=0.0,
+                cost_decrease_threshold=0.0,
+                parameter_variation_threshold=0.0,
+            )
+
+        # Warm-up / compile.
+        result = solve(x0, observations, shifts, weights)
+        jax.block_until_ready(result.x)
+        t0 = time.perf_counter()
+        result = solve(x0, observations, shifts, weights)
+        jax.block_until_ready(result.x)
+        elapsed = time.perf_counter() - t0
+        n_iters = int(result.iterations)
+        hr_pixels = x0.shape[-1] * x0.shape[-2]
+        return n_iters * hr_pixels / elapsed / 1e6, n_iters, elapsed
+
+
+def main():
+    import jax
+
+    accel = jax.devices()[0]
+    dtype = np.float32
+    value, n_iters, elapsed = _run(accel, iters=50, dtype=dtype)
+
+    # CPU comparison (single-process CPU = the reference's execution model).
+    vs_baseline = 1.0
+    try:
+        cpu = jax.devices("cpu")[0]
+        cpu_value, _, _ = _run(cpu, iters=10, dtype=dtype)
+        vs_baseline = value / cpu_value if cpu_value > 0 else 1.0
+    except Exception:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "map_solver_throughput_4x_dallas",
+                "value": round(value, 3),
+                "unit": "Mpixel-iters/s/chip",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,298 @@
+"""SuperResolution CLI — full pipeline (equivalent of
+``src/super_resolution.cpp``; flag surface mirrors :38-115).
+
+Usage:
+  python -m super_resolution_tpu.cli.super_resolve --data_path ... [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="super_resolve", description="Multiframe super-resolution (TPU-native)."
+    )
+    # Input images (required):
+    p.add_argument("--data_path", required=True,
+                   help="Path to an input file or directory to super resolve.")
+    p.add_argument("--generate_lr_images", action="store_true",
+                   help="Super-resolve images generated from high-res file at data_path.")
+    p.add_argument("--noise_sigma", type=float, default=0.0,
+                   help="Additive noise std. deviation (only with --generate_lr_images).")
+    p.add_argument("--number_of_frames", type=int, default=4,
+                   help="The number of frames to generate (only with --generate_lr_images).")
+    p.add_argument("--ground_truth_image", default="",
+                   help="Ground truth for evaluation (only if --generate_lr_images is NOT set).")
+    # Image model parameters:
+    p.add_argument("--upsampling_scale", type=int, default=2,
+                   help="The amount by which to super-resolve the image(s).")
+    p.add_argument("--blur_radius", type=int, default=3,
+                   help="The size of the blur kernel. Set to 0 to inactivate blurring.")
+    p.add_argument("--blur_sigma", type=float, default=1.0,
+                   help="The sigma value of the Gaussian blur. Set to 0 to inactivate blurring.")
+    p.add_argument("--motion_sequence_path", default="",
+                   help="Path to a file containing the motion shifts for each image.")
+    p.add_argument("--estimate_motion", action="store_true",
+                   help="Estimate motion with phase-correlation registration "
+                        "(used when no motion_sequence_path is given).")
+    # Solver strategy parameters:
+    p.add_argument("--optimization_iterations", type=int, default=20,
+                   help="Max number of IRLS iterations.")
+    p.add_argument("--solve_in_wavelet_domain", action="store_true",
+                   help="Run super-resolution in the wavelet domain (experimental).")
+    p.add_argument("--interpolate_color", action="store_true",
+                   help="Run SR only on the luminance channel and interpolate colors later.")
+    p.add_argument("--solve_in_pca_space", action="store_true",
+                   help="Run SR on PCA space of the spectra domain (HS images only).")
+    p.add_argument("--num_pca_components", type=int, default=0,
+                   help="Number of PCA components to use (0 = all).")
+    p.add_argument("--pca_retained_variance", type=float, default=0.0,
+                   help="Retained variance for PCA (0.0 = use num_pca_components).")
+    p.add_argument("--split_channels", action="store_true",
+                   help="Each channel will be solved as an independent image.")
+    # Regularization options:
+    p.add_argument("--regularizer", default="tv", choices=["tv", "3dtv", "btv"],
+                   help="The regularizer to use.")
+    p.add_argument("--btv_scale_range", type=int, default=3,
+                   help="The range (window size) for BTV regularization.")
+    p.add_argument("--btv_spatial_decay", type=float, default=0.5,
+                   help="The spatial decay factor for BTV regularization.")
+    p.add_argument("--regularization_parameter", type=float, default=0.01,
+                   help="The regularization parameter (lambda). 0 disables regularization.")
+    # Solver parameters:
+    p.add_argument("--solver", default="cg", choices=["cg", "lbfgs"],
+                   help="The least squares solver to use.")
+    p.add_argument("--solver_iterations", type=int, default=50,
+                   help="The maximum number of solver iterations.")
+    p.add_argument("--diff_mode", default="analytic", choices=["analytic", "autodiff"],
+                   help="Gradient mode: reference-parity analytic chain or jax.grad.")
+    # Distribution:
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="Shard frames over this many devices (0 = single device).")
+    # Evaluation and output:
+    p.add_argument("--verbose", action="store_true",
+                   help="Solver will log progress and image stats will be printed.")
+    p.add_argument("--evaluators", default="",
+                   help="Comma-delimited evaluation metrics (e.g. 'psnr,ssim').")
+    p.add_argument("--display_mode", default="", choices=["", "result", "compare"],
+                   help="'result' to display; 'compare' to also show bilinear upsampling.")
+    p.add_argument("--result_path", default="",
+                   help="File path where the result image will be saved.")
+    return p
+
+
+def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
+    """Mirror of ``SetupAndRunSolver`` (``super_resolution.cpp:126-199``)."""
+    from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
+    from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+    from super_resolution_tpu.solvers import IRLSMapSolver, IRLSMapSolverOptions
+
+    options = IRLSMapSolverOptions(
+        least_squares_solver=args.solver,
+        max_num_solver_iterations=args.solver_iterations,
+        max_num_irls_iterations=args.optimization_iterations,
+        diff_mode=args.diff_mode,
+        split_channels=args.split_channels,
+    )
+    solver = IRLSMapSolver(options, image_model, input_images,
+                           print_solver_output=args.verbose)
+    if args.regularization_parameter > 0.0:
+        if args.regularizer in ("tv", "3dtv"):
+            reg = TotalVariationRegularizer(use_3d_total_variation=args.regularizer == "3dtv")
+        else:
+            reg = BilateralTotalVariationRegularizer(
+                args.btv_scale_range, args.btv_spatial_decay
+            )
+        solver.add_regularizer(reg, args.regularization_parameter)
+        if args.verbose:
+            print(f"Added {args.regularizer} regularizer with parameter "
+                  f"{args.regularization_parameter}")
+
+    if args.verbose:
+        print(f"Super-resolving from {len(input_images)} images...")
+    start = time.perf_counter()
+    result = solver.solve(initial_estimate)
+    elapsed = time.perf_counter() - start
+    if args.verbose:
+        print(f"Done! Finished in {elapsed:.3f} seconds.")
+    return result
+
+
+def _solve_in_wavelet_domain(args, image_model, input_images):
+    """Per-subband solving (``super_resolution.cpp:201-267``)."""
+    from super_resolution_tpu.image.image_data import ImageData
+    from super_resolution_tpu.wavelet import (
+        WaveletCoefficients,
+        inverse_wavelet_transform,
+        wavelet_transform,
+    )
+
+    subbands = {"ll": [], "lh": [], "hl": [], "hh": []}
+    for img in input_images:
+        coeffs = wavelet_transform(img.array)
+        for name in subbands:
+            subbands[name].append(
+                ImageData(getattr(coeffs, name), normalize="never", channel_major=True)
+            )
+
+    results = {}
+    for name, stack in subbands.items():
+        initial = stack[0].resized(float(args.upsampling_scale), method="linear")
+        results[name] = _setup_and_run_solver(args, image_model, stack, initial)
+
+    merged = WaveletCoefficients(
+        *(results[name].array for name in ("ll", "lh", "hl", "hh"))
+    )
+    result = inverse_wavelet_transform(merged)
+    w, h = input_images[0].size
+    target_hw = (h * args.upsampling_scale, w * args.upsampling_scale)
+    from super_resolution_tpu.ops.resize import cubic_resize
+
+    result = cubic_resize(result, target_hw)
+    return ImageData(result, normalize="never", channel_major=True,
+                     spectral_mode=input_images[0].spectral_mode)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from super_resolution_tpu.evaluation import (
+        PeakSignalToNoiseRatioEvaluator,
+        StructuralSimilarityEvaluator,
+    )
+    from super_resolution_tpu.image.image_data import SpectralMode
+    from super_resolution_tpu.models import ImageModel, ImageModelParameters
+    from super_resolution_tpu.spectral import SpectralPCA
+    from super_resolution_tpu.utils.data_loader import load_image, load_images, save_image
+
+    model_parameters = ImageModelParameters(
+        scale=args.upsampling_scale,
+        blur_radius=args.blur_radius,
+        blur_sigma=args.blur_sigma,
+        motion_sequence_path=args.motion_sequence_path,
+    )
+
+    # Load or generate the LR stack.
+    high_res_image = None
+    if args.generate_lr_images:
+        if args.verbose:
+            print("Generating low-resolution images from ground truth.")
+        high_res_image = load_image(args.data_path)
+        gen_parameters = ImageModelParameters(
+            **{**model_parameters.__dict__, "noise_sigma": args.noise_sigma}
+        )
+        generation_model = ImageModel.create(gen_parameters)
+        low_res_images = [
+            high_res_image._with_array(generation_model.apply(high_res_image.array, i))
+            for i in range(args.number_of_frames)
+        ]
+    else:
+        low_res_images = load_images(args.data_path)
+        if args.ground_truth_image:
+            high_res_image = load_image(args.ground_truth_image)
+    if not low_res_images:
+        print("At least one low-resolution image is required.", file=sys.stderr)
+        return 1
+
+    # Motion: from file, or estimated via registration.
+    if not args.motion_sequence_path and args.estimate_motion:
+        from super_resolution_tpu.motion.registration import translational_registration
+
+        seq = translational_registration(low_res_images)
+        model_parameters.motion_sequence = seq
+        if args.verbose:
+            print("Estimated motion:", [(s.dx, s.dy) for s in seq])
+    image_model = ImageModel.create(model_parameters)
+
+    has_ground_truth = high_res_image is not None
+    evaluator_names = [e.strip() for e in args.evaluators.split(",") if e.strip()]
+    evaluate_results = has_ground_truth and bool(evaluator_names)
+
+    upsampled_image = None
+    if evaluate_results or args.display_mode == "compare":
+        upsampled_image = low_res_images[0].resized(
+            float(args.upsampling_scale), method="linear"
+        )
+
+    # Luminance-only color path.
+    if args.interpolate_color:
+        low_res_images = [
+            img.change_color_space(SpectralMode.COLOR_YCRCB, luminance_only=True)
+            for img in low_res_images
+        ]
+
+    # PCA-space path.
+    spectral_pca = None
+    if args.solve_in_pca_space and not args.interpolate_color:
+        if args.pca_retained_variance > 0.0:
+            spectral_pca = SpectralPCA(low_res_images,
+                                       retained_variance=args.pca_retained_variance)
+        else:
+            spectral_pca = SpectralPCA(low_res_images,
+                                       num_pca_bands=args.num_pca_components)
+        low_res_images = [spectral_pca.get_pca_image(img) for img in low_res_images]
+        if args.verbose:
+            print(f"Super-resolving in PCA space with "
+                  f"{low_res_images[0].num_channels} PCA components.")
+
+    initial_estimate = low_res_images[0].resized(
+        float(args.upsampling_scale), method="linear"
+    )
+
+    if args.solve_in_wavelet_domain:
+        result = _solve_in_wavelet_domain(args, image_model, low_res_images)
+    else:
+        result = _setup_and_run_solver(args, image_model, low_res_images, initial_estimate)
+
+    if args.interpolate_color:
+        result = result.interpolate_color_from(initial_estimate)
+        result = result.change_color_space(SpectralMode.COLOR_BGR)
+    if spectral_pca is not None:
+        result = spectral_pca.reconstruct_image(result)
+
+    if evaluate_results:
+        for name in evaluator_names:
+            if name == "psnr":
+                ev = PeakSignalToNoiseRatioEvaluator(high_res_image)
+                print(f"PSNR score on upsampled: {ev.evaluate(upsampled_image)}")
+                print(f"PSNR score on result:    {ev.evaluate(result)}")
+            elif name == "ssim":
+                ev = StructuralSimilarityEvaluator(high_res_image)
+                print(f"SSIM score on upsampled: {ev.evaluate(upsampled_image)}")
+                print(f"SSIM score on result:    {ev.evaluate(result)}")
+            else:
+                print(f"Unknown/unsupported evaluator '{name}'.", file=sys.stderr)
+    if args.verbose:
+        result.report().print()
+
+    if args.display_mode:
+        from super_resolution_tpu.utils.visualization import (
+            display_image,
+            display_images_side_by_side,
+        )
+
+        if args.display_mode == "result":
+            display_image(result, "Result")
+        else:
+            images = [result, upsampled_image]
+            title = "Super-Resolution vs. Linear Interpolation"
+            if has_ground_truth:
+                images.insert(0, high_res_image)
+                title = "Ground Truth vs. " + title
+            display_images_side_by_side(images, title)
+
+    if args.result_path:
+        save_image(result, args.result_path)
+        if args.verbose:
+            print(f"Saved result to {args.result_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

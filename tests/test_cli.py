@@ -1,0 +1,149 @@
+"""End-to-end CLI tests (the reference exercises everything through gtest;
+we additionally drive the actual CLI pipelines)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from super_resolution_tpu.cli.generate_data import main as generate_data_main
+from super_resolution_tpu.cli.shift_add_fusion import main as shift_add_main
+from super_resolution_tpu.cli.super_resolve import main as super_resolve_main
+from super_resolution_tpu.cli.visualize_image import main as visualize_main
+
+
+@pytest.fixture()
+def small_image(test_data_dir):
+    return f"{test_data_dir}/fb.png"
+
+
+def test_generate_then_fuse(tmp_path, small_image, test_data_dir, capsys):
+    out_dir = str(tmp_path / "lr")
+    rc = generate_data_main([
+        "--input_image", small_image,
+        "--output_image_dir", out_dir,
+        "--number_of_frames", "4",
+        "--upsampling_scale", "2",
+        "--blur_radius", "0",
+        "--motion_sequence_path", f"{test_data_dir}/test_motion_sequence_4.txt",
+    ])
+    assert rc == 0
+    assert len(os.listdir(out_dir)) == 4
+
+    fused_path = str(tmp_path / "fused.png")
+    rc = shift_add_main([
+        "--input_image_dir", out_dir,
+        "--input_motion_sequence", f"{test_data_dir}/test_motion_sequence_4.txt",
+        "--upsampling_scale", "2",
+        "--result_path", fused_path,
+    ])
+    assert rc == 0
+    assert os.path.exists(fused_path)
+
+
+def test_super_resolve_generate_mode(tmp_path, small_image, capsys):
+    result_path = str(tmp_path / "result.png")
+    rc = super_resolve_main([
+        "--data_path", small_image,
+        "--generate_lr_images",
+        "--number_of_frames", "4",
+        "--upsampling_scale", "2",
+        "--blur_radius", "0",
+        "--motion_sequence_path", "/root/reference/test_data/test_motion_sequence_4.txt",
+        "--regularization_parameter", "0",
+        "--evaluators", "psnr,ssim",
+        "--result_path", result_path,
+    ])
+    assert rc == 0
+    assert os.path.exists(result_path)
+    out = capsys.readouterr().out
+    assert "PSNR score on result" in out
+    assert "SSIM score on result" in out
+    # Noiseless inverse-crime recon should beat bilinear upsampling by a lot.
+    lines = {l.split(":")[0].strip(): float(l.split(":")[1]) for l in out.splitlines()
+             if "score on" in l}
+    assert lines["PSNR score on result"] > lines["PSNR score on upsampled"]
+
+
+def test_super_resolve_directory_mode_with_registration(tmp_path, test_data_dir, capsys):
+    # Generate LR frames to a directory, then solve with estimated motion.
+    out_dir = str(tmp_path / "lr")
+    rc = generate_data_main([
+        "--input_image", f"{test_data_dir}/fb.png",
+        "--output_image_dir", out_dir,
+        "--number_of_frames", "3",
+        "--upsampling_scale", "2",
+        "--blur_radius", "0",
+        "--motion_sequence_path", f"{test_data_dir}/test_motion_sequence_9.txt",
+    ])
+    assert rc == 0
+    rc = super_resolve_main([
+        "--data_path", out_dir,
+        "--upsampling_scale", "2",
+        "--blur_radius", "0",
+        "--estimate_motion",
+        "--regularization_parameter", "0.005",
+        "--optimization_iterations", "3",
+        "--solver_iterations", "20",
+    ])
+    assert rc == 0
+
+
+def test_super_resolve_wavelet_domain(small_image):
+    rc = super_resolve_main([
+        "--data_path", small_image,
+        "--generate_lr_images",
+        "--number_of_frames", "4",
+        "--upsampling_scale", "2",
+        "--blur_radius", "0",
+        "--motion_sequence_path", "/root/reference/test_data/test_motion_sequence_4.txt",
+        "--solve_in_wavelet_domain",
+        "--regularization_parameter", "0",
+        "--optimization_iterations", "2",
+        "--solver_iterations", "15",
+    ])
+    assert rc == 0
+
+
+def test_super_resolve_interpolate_color(small_image):
+    rc = super_resolve_main([
+        "--data_path", small_image,
+        "--generate_lr_images",
+        "--number_of_frames", "4",
+        "--upsampling_scale", "2",
+        "--blur_radius", "0",
+        "--motion_sequence_path", "/root/reference/test_data/test_motion_sequence_4.txt",
+        "--interpolate_color",
+        "--regularization_parameter", "0",
+        "--optimization_iterations", "2",
+        "--solver_iterations", "15",
+    ])
+    assert rc == 0
+
+
+def test_super_resolve_pca_space(tmp_path, test_data_dir):
+    # Use the ENVI test cube as a small hyperspectral input.
+    rc = super_resolve_main([
+        "--data_path", f"{test_data_dir}/test_hs_config.txt",
+        "--generate_lr_images",
+        "--number_of_frames", "4",
+        "--upsampling_scale", "2",
+        "--blur_radius", "0",
+        "--motion_sequence_path", f"{test_data_dir}/test_motion_sequence_4.txt",
+        "--solve_in_pca_space",
+        "--num_pca_components", "3",
+        "--regularization_parameter", "0",
+        "--optimization_iterations", "2",
+        "--solver_iterations", "10",
+        "--result_path", str(tmp_path / "hsi_result"),
+    ])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "hsi_result") + ".hdr")
+
+
+def test_visualize_image(small_image, capsys, monkeypatch):
+    monkeypatch.delenv("DISPLAY", raising=False)
+    rc = visualize_main(["--image_path", small_image, "--print_report"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Image Statistics" in out
