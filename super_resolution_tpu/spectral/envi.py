@@ -110,17 +110,39 @@ class HyperspectralDataLoader:
         if not (0 <= r0 < r1 <= rows and 0 <= c0 < c1 <= cols and 0 <= b0 < b1 <= bands):
             raise ValueError("Invalid crop ranges in HSI configuration.")
 
-        dtype = np.dtype(">f4" if big_endian else "<f4")
-        cube = np.memmap(
-            data_path, dtype=dtype, mode="r", offset=header_offset,
-            shape=(bands, rows, cols),
+        data = self._read_cube(
+            data_path, bands, rows, cols, (b0, b1), (r0, r1), (c0, c1),
+            header_offset, big_endian,
         )
-        data = np.asarray(cube[b0:b1, r0:r1, c0:c1], dtype=np.float64)
         self._image = ImageData(
             data, normalize="never", channel_major=True,
             spectral_mode=SpectralMode.HYPERSPECTRAL
             if data.shape[0] > 3
             else SpectralMode.NONE,
+        )
+
+    @staticmethod
+    def _read_cube(data_path, bands, rows, cols, b, r, c, header_offset, big_endian):
+        """Cropped BSQ read: native C++ streaming loader when available
+        (multithreaded seek-based band reads), numpy memmap otherwise."""
+        try:
+            from super_resolution_tpu import native
+
+            if native.native_available():
+                cube = native.read_bsq(
+                    data_path, bands, rows, cols, crop=(b, r, c),
+                    header_offset=header_offset, big_endian=big_endian,
+                )
+                return cube.astype(np.float64)
+        except Exception:
+            pass
+        dtype = np.dtype(">f4" if big_endian else "<f4")
+        cube = np.memmap(
+            data_path, dtype=dtype, mode="r", offset=header_offset,
+            shape=(bands, rows, cols),
+        )
+        return np.asarray(
+            cube[b[0] : b[1], r[0] : r[1], c[0] : c[1]], dtype=np.float64
         )
 
     def get_image(self) -> ImageData:
