@@ -24,10 +24,10 @@ def _build_problem(dtype):
     from super_resolution_tpu.models import ImageModel, ImageModelParameters
     from super_resolution_tpu.motion import MotionShiftSequence
 
-    gt = cv2.imread("/root/reference/test_data/dallas_qtr.jpg", cv2.IMREAD_GRAYSCALE)
-    gt = jnp.asarray(gt.astype(np.float32) / 255.0, dtype)[None]  # [1, 250, 250]
-    # Trim to a 4x-divisible size: 248 x 248 HR -> 62 x 62 LR.
-    gt = gt[:, :248, :248]
+    # The north-star config: dallas 4-frame sequence at 4x (BASELINE.json) —
+    # a 1000x1000 HR reconstruction from four 250x250 LR observations.
+    gt = cv2.imread("/root/reference/test_data/dallas.jpg", cv2.IMREAD_GRAYSCALE)
+    gt = jnp.asarray(gt.astype(np.float32) / 255.0, dtype)[None]  # [1, 1000, 1000]
     scale = 4
     seq = MotionShiftSequence([(0, 0), (1, 1), (0, 1), (1, 0)])
     model = ImageModel.create(
