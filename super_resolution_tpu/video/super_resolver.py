@@ -1,0 +1,86 @@
+"""Video super-resolution (functional replacement for the reference's dead
+``src/video/super_resolver.{h,cpp}``, which wrapped OpenCV-contrib's BTV-L1
+with hardcoded paths and was never used).
+
+This implementation runs the framework's own MAP+BTV pipeline over a sliding
+temporal window: for each output frame, the K nearest frames are registered
+against it (phase correlation) and fused by the IRLS solver — i.e. the same
+math as the reference's BTV-L1 target, built from this framework's native
+pieces instead of an external library.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from super_resolution_tpu.models.image_model import ImageModel, ImageModelParameters
+from super_resolution_tpu.motion.motion_shift import MotionShiftSequence
+from super_resolution_tpu.motion.registration import translational_registration
+from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
+from super_resolution_tpu.solvers.irls import IRLSMapSolver
+from super_resolution_tpu.solvers.map_solver import IRLSMapSolverOptions
+
+__all__ = ["VideoSuperResolver"]
+
+
+class VideoSuperResolver:
+    def __init__(
+        self,
+        scale: int = 2,
+        temporal_window: int = 4,
+        blur_radius: int = 3,
+        blur_sigma: float = 1.0,
+        btv_scale_range: int = 2,
+        btv_spatial_decay: float = 0.7,
+        regularization_parameter: float = 0.01,
+        solver_options: IRLSMapSolverOptions | None = None,
+    ):
+        self.scale = scale
+        self.temporal_window = temporal_window
+        self.blur_radius = blur_radius
+        self.blur_sigma = blur_sigma
+        self.btv_scale_range = btv_scale_range
+        self.btv_spatial_decay = btv_spatial_decay
+        self.regularization_parameter = regularization_parameter
+        self.solver_options = solver_options or IRLSMapSolverOptions(
+            max_num_irls_iterations=3, max_num_solver_iterations=25
+        )
+
+    def super_resolve_frame(self, frames: np.ndarray, center_index: int) -> np.ndarray:
+        """Super-resolve one frame of a ``[K, C, h, w]`` stack using its
+        temporal neighborhood."""
+        k = frames.shape[0]
+        half = self.temporal_window // 2
+        lo = max(0, min(center_index - half, k - self.temporal_window))
+        window = frames[lo : lo + self.temporal_window]
+        # Register the window against the center frame.
+        center = window[min(center_index - lo, window.shape[0] - 1)]
+        ordered = np.concatenate([center[None], np.delete(window, min(center_index - lo, window.shape[0] - 1), axis=0)])
+        seq = translational_registration(list(ordered))
+        params = ImageModelParameters(
+            scale=self.scale,
+            blur_radius=self.blur_radius,
+            blur_sigma=self.blur_sigma,
+            motion_sequence=seq,
+        )
+        model = ImageModel.create(params)
+        solver = IRLSMapSolver(self.solver_options, model, list(ordered))
+        solver.add_regularizer(
+            BilateralTotalVariationRegularizer(
+                self.btv_scale_range, self.btv_spatial_decay
+            ),
+            self.regularization_parameter,
+        )
+        from super_resolution_tpu.ops.resize import linear_resize
+
+        h, w = center.shape[-2] * self.scale, center.shape[-1] * self.scale
+        initial = linear_resize(jnp.asarray(center), (h, w))
+        return np.asarray(solver.solve(np.asarray(initial)))
+
+    def super_resolve(self, frames: np.ndarray) -> np.ndarray:
+        """Super-resolve every frame; returns ``[K, C, H, W]``."""
+        return np.stack(
+            [self.super_resolve_frame(frames, i) for i in range(frames.shape[0])]
+        )
