@@ -84,7 +84,18 @@ def _run(device, iters, dtype):
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: this environment's remote-compile path
+    # takes minutes for the large solver program; cache it across runs.
+    cache_dir = os.environ.get("SRTPU_COMPILE_CACHE", "/tmp/srtpu_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     accel = jax.devices()[0]
     dtype = np.float32

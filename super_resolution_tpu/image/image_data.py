@@ -337,7 +337,9 @@ class ImageData:
 
 
 def _float_dtype():
-    return jnp.zeros((), dtype=jnp.float64).dtype  # f64 under x64, else f32
+    import jax
+
+    return jax.dtypes.canonicalize_dtype(jnp.float64)  # f64 under x64, else f32
 
 
 def _apply_normalization(arr: jnp.ndarray, normalize: str) -> jnp.ndarray:

@@ -34,6 +34,7 @@ from super_resolution_tpu.models.image_model import ImageModel
 from super_resolution_tpu.solvers.least_squares import minimize
 from super_resolution_tpu.solvers.map_solver import IRLSMapSolverOptions
 from super_resolution_tpu.solvers.objective import make_map_value_and_grad
+from super_resolution_tpu.solvers.solver import MapSolverBase
 
 __all__ = ["IRLSMapSolver", "IRLSMapSolverOptions"]
 
@@ -49,7 +50,7 @@ def _as_chw(image) -> jnp.ndarray:
     return arr
 
 
-class IRLSMapSolver:
+class IRLSMapSolver(MapSolverBase):
     """MAP super-resolution solver with IRLS-reweighted regularization."""
 
     def __init__(
@@ -59,23 +60,8 @@ class IRLSMapSolver:
         low_res_images,
         print_solver_output: bool = False,
     ):
+        super().__init__(image_model, low_res_images, print_solver_output)
         self.options = options
-        self.image_model = image_model
-        self.verbose = print_solver_output
-
-        stack = [_as_chw(img) for img in low_res_images]
-        if not stack:
-            raise ValueError("Cannot super-resolve with 0 low-res images.")
-        c = stack[0].shape[0]
-        for s in stack[1:]:
-            if s.shape != stack[0].shape:
-                raise ValueError("All LR images must have identical shapes.")
-        self.observations = jnp.stack(stack)  # [K, C, h, w]
-        self.num_channels = c
-        scale = image_model.downsampling_scale
-        h, w = stack[0].shape[-2], stack[0].shape[-1]
-        self.hr_shape = (c, h * scale, w * scale)
-        self.scale = scale
 
         motion = image_model.motion_operator
         k = self.observations.shape[0]
@@ -92,17 +78,8 @@ class IRLSMapSolver:
         blur = image_model.blur_operator
         self.blur_kernel = None if blur is None else jnp.asarray(blur.kernel)
 
-        self.regularizers: list[tuple[object, float]] = []
-
-    def add_regularizer(self, regularizer, parameter: float) -> None:
-        """(regularizer, lambda) pair (``map_solver.cpp:88-94``)."""
-        self.regularizers.append((regularizer, float(parameter)))
-
-    @property
-    def regularization_parameter_sum(self) -> float:
-        return sum(lam for _, lam in self.regularizers)
-
-    def solve(self, initial_estimate):
+    def solve(self, initial_estimate, checkpoint_path: str | None = None,
+              resume: bool = False):
         """Run the solver; returns the same type as the input estimate."""
         x_full = _as_chw(initial_estimate)
         if x_full.shape != self.hr_shape:
@@ -131,7 +108,12 @@ class IRLSMapSolver:
             ch1 = ch0 + channels_per_split
             x0 = x_full[ch0:ch1]
             obs = self.observations[:, ch0:ch1]
-            x = self._run_irls_loop(inner, x0, obs, opts)
+            ckpt = (
+                f"{checkpoint_path}.round{i}.npz"
+                if checkpoint_path and num_rounds > 1
+                else (f"{checkpoint_path}.npz" if checkpoint_path else None)
+            )
+            x = self._run_irls_loop(inner, x0, obs, opts, ckpt, resume)
             results.append(x)
         out = jnp.concatenate(results, axis=0)
         if isinstance(initial_estimate, ImageData):
@@ -151,10 +133,13 @@ class IRLSMapSolver:
         max_shift = self.max_shift
         diff_mode = opts.diff_mode
 
+        static_shifts = np.asarray(self.shifts)
+
         def inner(x0, observations, shifts, weights):
             vg_full = make_map_value_and_grad(
                 observations, shifts, kernel, scale, regs,
                 max_shift=max_shift, diff_mode=diff_mode,
+                static_shifts=static_shifts if diff_mode == "analytic" else None,
             )
             return minimize(
                 lambda x: vg_full(x, weights),
@@ -165,16 +150,35 @@ class IRLSMapSolver:
                 cost_decrease_threshold=opts.cost_decrease_threshold,
                 parameter_variation_threshold=opts.parameter_variation_threshold,
                 memory=opts.num_lbfgs_hessian_corrections,
+                log_iterations=self.verbose,
             )
 
         return jax.jit(inner)
 
-    def _run_irls_loop(self, inner, x0, observations, opts):
+    def _run_irls_loop(self, inner, x0, observations, opts,
+                       checkpoint_path=None, resume=False):
+        """IRLS outer loop with optional checkpoint/resume: the state saved at
+        the iteration seam (x, IRLS weights, iteration counter, previous cost)
+        is exactly what the reference's iteration-complete hook exposes —
+        SURVEY.md §5 identifies it as the natural checkpoint point; the
+        reference itself persists nothing."""
+        import os
+
         regs = self.regularizers
         weights = tuple(jnp.ones_like(x0) for _ in regs)
         x = x0
         prev_cost = float("inf")
         iteration = 0
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            state = np.load(checkpoint_path)
+            x = jnp.asarray(state["x"])
+            weights = tuple(
+                jnp.asarray(state[f"weight_{i}"]) for i in range(len(regs))
+            )
+            prev_cost = float(state["prev_cost"])
+            iteration = int(state["iteration"])
+            if self.verbose:
+                print(f"Resumed IRLS from {checkpoint_path} at iteration {iteration}.")
         while True:
             result = inner(x, observations, self.shifts, weights)
             x, cost = result.x, float(result.cost)
@@ -195,6 +199,12 @@ class IRLSMapSolver:
                     f"IRLS Iteration complete (#{iteration}). New loss is {cost} "
                     f"with a difference of {cost_difference}."
                 )
+            if checkpoint_path:
+                payload = {"x": np.asarray(x), "prev_cost": prev_cost,
+                           "iteration": iteration}
+                for wi, warr in enumerate(weights):
+                    payload[f"weight_{wi}"] = np.asarray(warr)
+                np.savez(checkpoint_path, **payload)
             if abs(cost_difference) < opts.irls_cost_difference_threshold:
                 break
             if (

@@ -254,6 +254,7 @@ def minimize(
     cost_decrease_threshold: float = 1e-6,
     parameter_variation_threshold: float = 1e-6,
     memory: int = 5,
+    log_iterations: bool = False,
 ) -> MinimizeResult:
     """Minimize a smooth objective given its fused value+gradient function.
 
@@ -378,6 +379,13 @@ def minimize(
 
             q = lax.fori_loop(0, m, forward, q)
             d_new = -q.reshape(x0.shape)
+
+        if log_iterations:
+            # Mirror of AlglibSolverIterationCallback (alglib_objective.cpp:165-178).
+            jax.debug.print(
+                "Iteration complete ({k}). Sum of squared residuals = {f}",
+                k=s.k + 1, f=f_new,
+            )
 
         # ALGLIB-style stopping conditions.
         g_small = _norm(g_new) <= eps_g

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from super_resolution_tpu.models.image_model import degrade, degrade_adjoint
+from super_resolution_tpu.ops.resize import decimate, zero_upsample
 
 __all__ = [
     "data_term_cost_and_grad",
@@ -84,6 +85,41 @@ def data_term_cost(
     return s2 * jnp.sum(jax.vmap(per_frame)(observations, shifts))
 
 
+def data_term_cost_and_grad_static(
+    x: jnp.ndarray,
+    observations: jnp.ndarray,
+    static_shifts,
+    blur_kernel: jnp.ndarray | None,
+    scale: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Data term with compile-time-constant shifts.
+
+    When the motion sequence is host-known (every non-distributed solve), the
+    per-frame warp specializes at trace time: integer shifts become a single
+    shifted slice instead of a 4-tap bilinear gather, and zero-weight taps
+    drop out — roughly halving the data term's HBM traffic for the common
+    integer-shift case. Semantics identical to :func:`data_term_cost_and_grad`.
+    """
+    from super_resolution_tpu.ops.blur import blur as _blur, blur_adjoint as _blur_t
+    from super_resolution_tpu.ops.warp import translate_static
+
+    s2 = jnp.asarray(float(scale * scale), x.dtype)
+    shift_list = [(float(s[0]), float(s[1])) for s in static_shifts]
+    cost = jnp.zeros((), x.dtype)
+    grad = jnp.zeros_like(x)
+    for k, (dx, dy) in enumerate(shift_list):
+        z = translate_static(x, dx, dy)
+        if blur_kernel is not None:
+            z = _blur(z, blur_kernel)
+        r = decimate(z, scale) - observations[k]
+        cost = cost + jnp.sum(r * r)
+        g = zero_upsample(r, scale)
+        if blur_kernel is not None:
+            g = _blur_t(g, blur_kernel)
+        grad = grad + translate_static(g, -dx, -dy)
+    return s2 * cost, 2.0 * s2 * grad
+
+
 def make_map_value_and_grad(
     observations: jnp.ndarray,
     shifts: jnp.ndarray,
@@ -92,6 +128,7 @@ def make_map_value_and_grad(
     regularizers: Sequence[tuple[object, float]] = (),
     max_shift: int = 16,
     diff_mode: str = "analytic",
+    static_shifts=None,
 ) -> Callable:
     """Build ``value_and_grad(x, weights) -> (cost, grad)`` for the MAP objective.
 
@@ -109,6 +146,15 @@ def make_map_value_and_grad(
         raise ValueError(f"Unknown diff_mode {diff_mode!r}")
 
     regs = tuple(regularizers)
+
+    def data_cost_grad(x):
+        if static_shifts is not None:
+            return data_term_cost_and_grad_static(
+                x, observations, static_shifts, blur_kernel, scale
+            )
+        return data_term_cost_and_grad(
+            x, observations, shifts, blur_kernel, scale, max_shift
+        )
 
     def cost_fn(x, weights):
         cost = data_term_cost(x, observations, shifts, blur_kernel, scale, max_shift)
@@ -128,9 +174,7 @@ def make_map_value_and_grad(
         return value_and_grad
 
     def value_and_grad(x, weights=()):
-        cost, grad = data_term_cost_and_grad(
-            x, observations, shifts, blur_kernel, scale, max_shift
-        )
+        cost, grad = data_cost_grad(x)
         for (reg, lam), w in zip(regs, tuple(weights)):
             if lam <= 0.0:
                 continue
