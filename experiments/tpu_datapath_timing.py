@@ -63,6 +63,12 @@ def static_shifted_data_term(x, observations, shift_list, kernel_np, scale):
     return s2 * cost, 2.0 * s2 * grad
 
 
+def pallas_variant(x, obs, shifts_np, kernel_np, scale):
+    from super_resolution_tpu.ops.pallas.degrade import pallas_data_term_cost_and_grad
+
+    return pallas_data_term_cost_and_grad(x, obs, shifts_np, kernel_np, scale)
+
+
 def main():
     gt = cv2.imread("/root/reference/test_data/dallas.jpg", cv2.IMREAD_GRAYSCALE)
     x = jnp.asarray(gt.astype(np.float32) / 255.0)[None]
@@ -84,6 +90,8 @@ def main():
            x, label="data term (static shifts, conv)")
     timeit(jax.jit(lambda v: static_shifted_data_term(v, obs, shift_list, kernel_np, scale)),
            x, label="data term (static shifts, shifted-add blur)")
+    timeit(jax.jit(lambda v: pallas_variant(v, obs, shifts_np, kernel_np, scale)),
+           x, label="data term (fused pallas kernel)")
     timeit(jax.jit(lambda v: correlate2d(v, kernel)), x, label="conv blur alone")
     timeit(jax.jit(lambda v: correlate2d_shifted(v, kernel_np)), x, label="shifted blur alone")
     w = jnp.ones_like(x)
