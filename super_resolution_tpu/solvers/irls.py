@@ -36,7 +36,68 @@ from super_resolution_tpu.solvers.map_solver import IRLSMapSolverOptions
 from super_resolution_tpu.solvers.objective import make_map_value_and_grad
 from super_resolution_tpu.solvers.solver import MapSolverBase
 
-__all__ = ["IRLSMapSolver", "IRLSMapSolverOptions"]
+__all__ = ["IRLSMapSolver", "IRLSMapSolverOptions", "irls_solve_fused"]
+
+
+def irls_solve_fused(
+    value_and_grad_builder,
+    regularizers,
+    x0: jnp.ndarray,
+    options: IRLSMapSolverOptions,
+):
+    """The entire IRLS solve as ONE jittable computation.
+
+    ``value_and_grad_builder(weights) -> (x -> (cost, grad))``. The IRLS
+    outer loop is a ``lax.while_loop`` whose body runs the full inner
+    CG/L-BFGS ``minimize`` (itself a while_loop) and reweights — so a
+    complete multi-iteration MAP solve compiles to a single XLA program with
+    no host round-trips, and shards across a mesh when the objective carries
+    sharded terms. (The host-loop variant in :class:`IRLSMapSolver` keeps
+    checkpointing and logging; use this one for production throughput.)
+    """
+    regs = tuple(regularizers)
+    thr = jnp.asarray(options.irls_cost_difference_threshold, x0.dtype)
+    max_irls = options.max_num_irls_iterations or 10_000
+
+    def inner(x, weights):
+        return minimize(
+            lambda z: value_and_grad_builder(weights)(z),
+            x,
+            method=options.least_squares_solver,
+            max_iterations=options.max_num_solver_iterations,
+            gradient_norm_threshold=options.gradient_norm_threshold,
+            cost_decrease_threshold=options.cost_decrease_threshold,
+            parameter_variation_threshold=options.parameter_variation_threshold,
+            memory=options.num_lbfgs_hessian_corrections,
+        )
+
+    if not regs:
+        result = inner(x0, ())
+        return result.x, result.cost
+
+    weights0 = tuple(jnp.ones_like(x0) for _ in regs)
+    inf = jnp.asarray(jnp.inf, x0.dtype)
+
+    def cond(state):
+        _, _, _, it, done = state
+        return (~done) & (it < max_irls)
+
+    def body(state):
+        x, weights, prev_cost, it, _ = state
+        result = inner(x, weights)
+        x_new, cost = result.x, result.cost.astype(x0.dtype)
+        new_weights = tuple(
+            1.0 / jnp.maximum(_MIN_RESIDUAL, reg.residuals(x_new))
+            for (reg, _), _w in zip(regs, weights)
+        )
+        diff = prev_cost - cost
+        done = jnp.abs(diff) < thr
+        return x_new, new_weights, cost, it + 1, done
+
+    x, _, cost, _, _ = jax.lax.while_loop(
+        cond, body, (x0, weights0, inf, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_))
+    )
+    return x, cost
 
 # Minimum residual for IRLS reweighting (``irls_map_solver.cpp:34``).
 _MIN_RESIDUAL = 1e-5

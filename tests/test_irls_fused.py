@@ -1,0 +1,75 @@
+"""Fully in-graph IRLS solve matches the host-loop solver."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from super_resolution_tpu.models import ImageModel, ImageModelParameters
+from super_resolution_tpu.motion import MotionShift, MotionShiftSequence
+from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+from super_resolution_tpu.solvers import IRLSMapSolver, IRLSMapSolverOptions
+from super_resolution_tpu.solvers.irls import irls_solve_fused
+from super_resolution_tpu.solvers.objective import make_map_value_and_grad
+from super_resolution_tpu.utils.testing import matrices_equal
+
+
+def test_fused_irls_matches_host_loop():
+    rng = np.random.default_rng(91)
+    hr = jnp.asarray(rng.random((1, 12, 12)))
+    seq = MotionShiftSequence(
+        [MotionShift(0, 0), MotionShift(1, 1), MotionShift(-1, 0), MotionShift(0, -1)]
+    )
+    model = ImageModel.create(
+        ImageModelParameters(scale=2, blur_radius=3, blur_sigma=1.0, motion_sequence=seq)
+    )
+    obs = jnp.stack([model.apply(hr, k) for k in range(4)])
+    shifts = jnp.asarray(seq.as_array())
+    kernel = jnp.asarray(model.blur_operator.kernel)
+    tv = TotalVariationRegularizer()
+    regs = [(tv, 0.01)]
+
+    import dataclasses
+
+    options = IRLSMapSolverOptions()
+    scaled = dataclasses.replace(options)
+    scaled.adjust_thresholds_adaptively(hr.size, 0.01)
+
+    # Host-loop solver.
+    solver = IRLSMapSolver(options, model, list(obs))
+    solver.add_regularizer(tv, 0.01)
+    host_result = np.asarray(solver.solve(jnp.zeros_like(hr)))
+
+    # Fused in-graph solve with the same (scaled) thresholds and the same
+    # static-shift objective path -> bitwise-identical trajectory.
+    static = np.asarray(seq.as_array())
+
+    def builder(weights):
+        vg = make_map_value_and_grad(
+            obs, shifts, kernel, 2, regs, max_shift=3, static_shifts=static
+        )
+        return lambda x: vg(x, weights)
+
+    x, cost = jax.jit(
+        lambda x0: irls_solve_fused(builder, regs, x0, scaled)
+    )(jnp.zeros_like(hr))
+    assert matrices_equal(np.asarray(x), host_result, 1e-12)
+    assert np.isfinite(float(cost))
+
+
+def test_fused_irls_no_regularizers():
+    rng = np.random.default_rng(92)
+    hr = jnp.asarray(rng.random((1, 8, 8)))
+    seq = MotionShiftSequence(
+        [MotionShift(0, 0), MotionShift(-1, 0), MotionShift(0, -1), MotionShift(-1, -1)]
+    )
+    model = ImageModel.create(ImageModelParameters(scale=2, motion_sequence=seq))
+    obs = jnp.stack([model.apply(hr, k) for k in range(4)])
+    shifts = jnp.asarray(seq.as_array())
+
+    def builder(weights):
+        vg = make_map_value_and_grad(obs, shifts, None, 2, max_shift=3)
+        return lambda x: vg(x, ())
+
+    x, cost = irls_solve_fused(builder, [], jnp.zeros_like(hr), IRLSMapSolverOptions())
+    assert matrices_equal(np.asarray(x), np.asarray(hr), 0.001)
