@@ -6,9 +6,10 @@ Prints ONE JSON line:
 The metric counts CG iterations x HR pixels per second for the full MAP
 objective (4-frame degrade + adjoint gradient + IRLS-weighted TV) on the
 dallas 4x configuration from BASELINE.json. The reference publishes no
-numbers (BASELINE.md), so ``vs_baseline`` is measured against this machine's
-CPU backend running the identical computation — a stand-in for the
-reference's single-process CPU execution model.
+numbers (BASELINE.md), so ``vs_baseline`` is the speedup over the ACTUAL
+C++ reference, which we built (-O3 -march=native, single-threaded as
+written) and ran on this host's CPU for the same 1000^2 4x problem:
+28 CG iterations in 35.3 s = 0.79 Mpixel-iters/s (BASELINE_MEASURED.md).
 """
 
 import json
@@ -33,9 +34,6 @@ def _build_problem(dtype):
     model = ImageModel.create(
         ImageModelParameters(scale=scale, blur_radius=3, blur_sigma=1.5, motion_sequence=seq)
     )
-    # LR frames degraded from the (downsized) ground truth; HR estimate at 4x
-    # the LR size = 248 x 248? No: solve at the *original* resolution — LR is
-    # gt decimated; the solver reconstructs HR of gt's size.
     observations = jnp.stack([model.apply(gt, k) for k in range(4)])
     shifts = jnp.asarray(seq.as_array(), dtype)
     kernel = jnp.asarray(model.blur_operator.kernel, dtype)
@@ -101,14 +99,10 @@ def main():
     dtype = np.float32
     value, n_iters, elapsed = _run(accel, iters=50, dtype=dtype)
 
-    # CPU comparison (single-process CPU = the reference's execution model).
-    vs_baseline = 1.0
-    try:
-        cpu = jax.devices("cpu")[0]
-        cpu_value, _, _ = _run(cpu, iters=10, dtype=dtype)
-        vs_baseline = value / cpu_value if cpu_value > 0 else 1.0
-    except Exception:
-        pass
+    # Measured C++ reference throughput on the identical problem
+    # (BASELINE_MEASURED.md): 0.79 Mpixel-iters/s, single CPU thread.
+    reference_throughput = 0.79
+    vs_baseline = value / reference_throughput
 
     print(
         json.dumps(

@@ -18,3 +18,14 @@ from super_resolution_tpu.image.image_data import (  # noqa: F401
     ImageData,
     SpectralMode,
 )
+from super_resolution_tpu.models.image_model import (  # noqa: F401
+    ImageModel,
+    ImageModelParameters,
+)
+from super_resolution_tpu.solvers.irls import (  # noqa: F401
+    IRLSMapSolver,
+)
+from super_resolution_tpu.solvers.map_solver import (  # noqa: F401
+    IRLSMapSolverOptions,
+    MapSolverOptions,
+)

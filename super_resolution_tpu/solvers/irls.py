@@ -200,7 +200,10 @@ class IRLSMapSolver(MapSolverBase):
             vg_full = make_map_value_and_grad(
                 observations, shifts, kernel, scale, regs,
                 max_shift=max_shift, diff_mode=diff_mode,
-                static_shifts=static_shifts if diff_mode == "analytic" else None,
+                static_shifts=static_shifts
+                if diff_mode == "analytic" and (opts.use_static_shifts or opts.use_pallas_data_term)
+                else None,
+                use_pallas=opts.use_pallas_data_term and diff_mode == "analytic",
             )
             return minimize(
                 lambda x: vg_full(x, weights),

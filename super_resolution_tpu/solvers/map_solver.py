@@ -23,6 +23,14 @@ class MapSolverOptions:
     # use_numerical_differentiation validation mode with exact derivatives).
     diff_mode: str = "analytic"
     split_channels: bool = False
+    # Use the fused Pallas TPU kernel for the data term (requires host-known
+    # motion shifts; falls back implicitly to the unfused path otherwise).
+    use_pallas_data_term: bool = False
+    # Specialize the data term on host-known shifts (unrolled per-frame
+    # slices). Measured SLOWER than the vmapped traced path on TPU (the
+    # batched form fuses better), so off by default; kept for CPU use and
+    # as the semantics reference for the Pallas kernel.
+    use_static_shifts: bool = False
 
     def adjust_thresholds_adaptively(
         self, num_parameters: int, regularization_parameter_sum: float

@@ -129,6 +129,7 @@ def make_map_value_and_grad(
     max_shift: int = 16,
     diff_mode: str = "analytic",
     static_shifts=None,
+    use_pallas: bool = False,
 ) -> Callable:
     """Build ``value_and_grad(x, weights) -> (cost, grad)`` for the MAP objective.
 
@@ -148,6 +149,17 @@ def make_map_value_and_grad(
     regs = tuple(regularizers)
 
     def data_cost_grad(x):
+        if use_pallas:
+            if static_shifts is None:
+                raise ValueError("use_pallas requires static_shifts.")
+            from super_resolution_tpu.ops.pallas.degrade import (
+                pallas_data_term_cost_and_grad,
+            )
+
+            kernel_np = None if blur_kernel is None else __import__("numpy").asarray(blur_kernel)
+            return pallas_data_term_cost_and_grad(
+                x, observations, static_shifts, kernel_np, scale
+            )
         if static_shifts is not None:
             return data_term_cost_and_grad_static(
                 x, observations, static_shifts, blur_kernel, scale
