@@ -273,7 +273,7 @@ def pallas_data_term_cost_and_grad(
                 grad_acc = grad_acc + sl * jnp.asarray(tw, xt.dtype)
 
         grad_ref[:] = grad_acc
-        cost_ref[0, 0] = cost_acc
+        cost_ref[ti, tj] = cost_acc
 
     grad_padded, cost_tiles = pl.pallas_call(
         kernel_fn,
@@ -285,7 +285,9 @@ def pallas_data_term_cost_and_grad(
         ],
         out_specs=[
             pl.BlockSpec((c, tile, tile), lambda i, j: (0, i, j)),
-            pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
+            # Full-array SMEM block (TPU tiling rules forbid small blocked
+            # outputs); each grid step writes its own (ti, tj) element.
+            pl.BlockSpec((n_ty, n_tx), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((c, hp, wp), x.dtype),

@@ -156,6 +156,9 @@ def make_tiled_map_value_and_grad(
     n_col = mesh.shape[COL_AXIS]
     kernel_size = 0 if blur_kernel is None else blur_kernel.shape[0]
     halo = required_halo(max_shift, kernel_size)
+    # Single-hop exchange: each rim comes from the immediate neighbor, so the
+    # halo cannot exceed the local tile extent (multi-hop would be needed).
+    # Checked at call time against the actual local shapes.
     # The local translate's internal padding only needs to cover the shift.
     local_max_shift = int(math.ceil(max_shift)) + 1
 
@@ -237,6 +240,14 @@ def make_tiled_map_value_and_grad(
     )
 
     def value_and_grad(x, observations, shifts, tv_weights=None):
+        tile_h = x.shape[-2] // n_row
+        tile_w = x.shape[-1] // n_col
+        if halo > min(tile_h, tile_w):
+            raise ValueError(
+                f"Stencil halo ({halo}) exceeds the local tile size "
+                f"({tile_h}x{tile_w}); use fewer tiles, a larger image, or a "
+                f"smaller max_shift (single-hop halo exchange)."
+            )
         if tv_weights is None:
             tv_weights = jnp.ones_like(x)
         return tiled(x, observations, shifts, tv_weights)
