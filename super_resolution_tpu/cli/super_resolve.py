@@ -100,8 +100,18 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
         diff_mode=args.diff_mode,
         split_channels=args.split_channels,
     )
+    mesh = None
+    if args.num_devices and args.num_devices > 1:
+        from super_resolution_tpu.parallel import FRAME_AXIS, make_mesh
+
+        import jax
+
+        mesh = make_mesh({FRAME_AXIS: args.num_devices},
+                         jax.devices()[: args.num_devices])
+        if args.verbose:
+            print(f"Sharding frames over {args.num_devices} devices.")
     solver = IRLSMapSolver(options, image_model, input_images,
-                           print_solver_output=args.verbose)
+                           print_solver_output=args.verbose, mesh=mesh)
     if args.regularization_parameter > 0.0:
         if args.regularizer in ("tv", "3dtv"):
             reg = TotalVariationRegularizer(use_3d_total_variation=args.regularizer == "3dtv")

@@ -120,9 +120,23 @@ class IRLSMapSolver(MapSolverBase):
         image_model: ImageModel,
         low_res_images,
         print_solver_output: bool = False,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh with a 'frame' (and optionally
+        'band') axis — observations are placed sharded and GSPMD reduces the
+        per-frame gradients with psum (see parallel/data_parallel.py)."""
         super().__init__(image_model, low_res_images, print_solver_output)
         self.options = options
+        self.mesh = mesh
+        if mesh is not None:
+            from super_resolution_tpu.parallel.data_parallel import shard_problem
+
+            # x placement happens per solve; shard the static observations now.
+            zeros = jnp.zeros(self.hr_shape, self.observations.dtype)
+            _, self.observations, _ = shard_problem(
+                mesh, zeros, self.observations,
+                jnp.zeros((self.observations.shape[0], 2)),
+            )
 
         motion = image_model.motion_operator
         k = self.observations.shape[0]
@@ -135,6 +149,12 @@ class IRLSMapSolver(MapSolverBase):
         else:
             self.shifts = jnp.zeros((k, 2))
             self.max_shift = 2
+        if mesh is not None:
+            from super_resolution_tpu.parallel.mesh import FRAME_AXIS, named_sharding
+
+            self.shifts = jax.device_put(
+                self.shifts, named_sharding(mesh, FRAME_AXIS, None)
+            )
 
         blur = image_model.blur_operator
         self.blur_kernel = None if blur is None else jnp.asarray(blur.kernel)
@@ -201,9 +221,13 @@ class IRLSMapSolver(MapSolverBase):
                 observations, shifts, kernel, scale, regs,
                 max_shift=max_shift, diff_mode=diff_mode,
                 static_shifts=static_shifts
-                if diff_mode == "analytic" and (opts.use_static_shifts or opts.use_pallas_data_term)
+                if diff_mode == "analytic"
+                and (opts.use_static_shifts or opts.use_pallas_data_term)
+                and self.mesh is None
                 else None,
-                use_pallas=opts.use_pallas_data_term and diff_mode == "analytic",
+                use_pallas=opts.use_pallas_data_term
+                and diff_mode == "analytic"
+                and self.mesh is None,
             )
             return minimize(
                 lambda x: vg_full(x, weights),
@@ -229,6 +253,11 @@ class IRLSMapSolver(MapSolverBase):
         import os
 
         regs = self.regularizers
+        if self.mesh is not None:
+            from super_resolution_tpu.parallel.mesh import BAND_AXIS, named_sharding
+
+            band = BAND_AXIS if BAND_AXIS in self.mesh.axis_names else None
+            x0 = jax.device_put(x0, named_sharding(self.mesh, band, None, None))
         weights = tuple(jnp.ones_like(x0) for _ in regs)
         x = x0
         prev_cost = float("inf")
