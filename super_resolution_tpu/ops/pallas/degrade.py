@@ -237,14 +237,17 @@ def pallas_data_term_cost_and_grad(
                 z1 = term if z1 is None else z1 + term
             z1 = z1 * m_z1
 
-            # Stage 2: blur taps + decimation straight onto the LR grid.
+            # Stage 2: blur taps on the dense EXT grid, then decimate by a
+            # reshape + index-0 select (strided slices on 3D arrays lower to
+            # unsupported >2D gathers in Mosaic; this form is pure slicing).
             z = None
             for dr, dc, tw in blur_taps:
-                sl = z1[:, bp + dr : bp + dr + ext : s, bp + dc : bp + dc + ext : s]
+                sl = z1[:, bp + dr : bp + dr + ext, bp + dc : bp + dc + ext]
                 term = sl * jnp.asarray(tw, xt.dtype)
                 z = term if z is None else z + term
+            z_lr = z.reshape(c, ext_lr, s, ext_lr, s)[:, :, 0, :, 0]
 
-            r = (z - yv[k]) * mask_t
+            r = (z_lr - yv[k]) * mask_t
             # Cost: only this tile's own LR pixels (the EXT rim belongs to
             # neighboring tiles and would double-count).
             r_center = r[:, pe_l : pe_l + tile // s, pe_l : pe_l + tile // s]
