@@ -41,13 +41,9 @@ def test_fused_irls_matches_host_loop():
     host_result = np.asarray(solver.solve(jnp.zeros_like(hr)))
 
     # Fused in-graph solve with the same (scaled) thresholds and the same
-    # static-shift objective path -> bitwise-identical trajectory.
-    static = np.asarray(seq.as_array())
-
+    # (traced-shift) objective path -> bitwise-identical trajectory.
     def builder(weights):
-        vg = make_map_value_and_grad(
-            obs, shifts, kernel, 2, regs, max_shift=3, static_shifts=static
-        )
+        vg = make_map_value_and_grad(obs, shifts, kernel, 2, regs, max_shift=3)
         return lambda x: vg(x, weights)
 
     x, cost = jax.jit(
