@@ -1,35 +1,39 @@
 """Fused Pallas TPU kernel for the MAP data term (cost + gradient).
 
-This is Pallas target #1 from SURVEY.md §3.3 — the innermost hot loop. For
-each HR tile, one kernel invocation:
+Pallas target #1 from SURVEY.md §3.3 — the innermost hot loop. The design is
+**polyphase**: the HR estimate is split host-side into its s x s phase planes
+(s = decimation scale), so *every* access inside the kernel is a stride-1
+slice of an LR-resolution plane — decimation, zero-upsampling, and warping
+all become static phase/offset arithmetic computed in Python at trace time.
+This matters doubly here: (a) it is the classic polyphase MFSR formulation
+and touches each datum once, and (b) this environment's Mosaic toolchain
+rejects strided slices / >2D gathers / interleaving reshapes and crashes on
+manual DMA, so stride-1 slices + blocked pipelining are also the only
+constructs that compile.
 
-1. DMAs the tile plus a composite-stencil halo of the (pre-padded) HR
-   estimate from HBM into VMEM once;
-2. for every frame, applies the *composite* warp+blur+decimate stencil —
-   warp taps (bilinear, <= 4) convolved with blur taps collapse into one
-   static tap table, so the whole degradation is a sum of weighted shifted
-   VMEM slices (pure VPU work, no conv dispatch, no intermediate HBM
-   round-trips);
-3. computes the masked LR residual against the observation tile and
-   accumulates the squared-residual cost;
-4. applies the composite *adjoint* stencil (zero-upsample + transposed blur +
-   reverse warp, exactly the reference's gradient chain,
-   ``objective_data_term.cpp:54-72``) and accumulates the gradient tile
-   across frames — the gradient is written to HBM once per tile total.
+Per HR tile (one grid step, inputs pipelined by Pallas from pre-extracted
+overlapping windows):
 
-HBM traffic per objective evaluation drops from ~20 materialized
-intermediates to: read x (1 + halo overlap), read y, write grad, write
-per-tile cost partials — within ~2x of the bandwidth lower bound.
+1. stage 1 — warp taps gather phase planes into z1 phase planes, masked to
+   the global image extent (the reference applies BORDER_CONSTANT per
+   operator: warp output is cropped before the blur sees it);
+2. stage 2 — blur taps combine z1 phases directly onto the decimated grid;
+3. masked LR residual against the observation window; squared-residual cost
+   partial accumulated per tile (SMEM);
+4. adjoint — transposed blur taps of the residual into g1 phase planes
+   (again extent-masked), then reverse-warp taps into the gradient's phase
+   planes: exactly the reference's gradient chain
+   (``objective_data_term.cpp:54-72``), fused, one HBM write per tile.
 
-Shifts must be compile-time constants (host-known motion — true for every
-non-distributed solve). Semantics are identical to
-``data_term_cost_and_grad_static``; the test suite checks equality to 1e-5
-(f32) against the unfused path.
+Host side: polyphase split, overlapping window extraction, and phase
+reassembly are single XLA transpose/slice passes. Shifts must be host-known
+(true for every non-distributed solve). Semantics match
+``data_term_cost_and_grad_static`` to f32 tolerance (see
+tests/test_pallas_degrade.py).
 """
 
 from __future__ import annotations
 
-import functools
 import math
 
 import numpy as np
@@ -43,12 +47,7 @@ __all__ = ["pallas_data_term_cost_and_grad", "composite_taps"]
 
 
 def _warp_taps(dx: float, dy: float):
-    """Bilinear warp as taps: out(u) = sum_a w_a x(u + o_a).
-
-    out(r, c) = x(r - dy, c - dx) bilinearly: with iy = floor(dy),
-    fy = dy - iy, value = sum over a, b of w weights at offsets
-    (-(iy + a), -(ix + b)).
-    """
+    """Bilinear warp as taps: out(u) = sum_a w_a x(u + o_a)."""
     iy, ix = math.floor(dy), math.floor(dx)
     fy, fx = dy - iy, dx - ix
     taps = []
@@ -61,13 +60,10 @@ def _warp_taps(dx: float, dy: float):
 
 
 def composite_taps(dx: float, dy: float, kernel: np.ndarray | None):
-    """Collapse warp+blur into one tap table, and build the adjoint table.
+    """Warp (+blur) collapsed into one tap table, plus the adjoint table.
 
-    Forward:  z(u) = sum_b k_b [warp x](u + o_b) = sum_{a,b} k_b w_a x(u + o_b + o_a)
-    Adjoint (reference chain — warp by -shift after correlation with k^T):
-              g(p) = sum_{a',b'} w_a' kT_b' r_up(p + o_b' + o_a')
-    where the adjoint warp taps come from ``_warp_taps(-dx, -dy)``.
-    Returns (fwd_taps, adj_taps) as lists of (dr, dc, weight).
+    Kept for analysis/testing; the kernel itself uses the two-stage form
+    (the composite is exact only away from the image border).
     """
     if kernel is None:
         blur = [(0, 0, 1.0)]
@@ -75,36 +71,36 @@ def composite_taps(dx: float, dy: float, kernel: np.ndarray | None):
     else:
         k = np.asarray(kernel, dtype=np.float64)
         kh, kw = k.shape
-        mid_r, mid_c = kh // 2, kw // 2
         blur = [
-            (i - mid_r, j - mid_c, float(k[i, j]))
-            for i in range(kh)
-            for j in range(kw)
-            if k[i, j] != 0.0
+            (i - kh // 2, j - kw // 2, float(k[i, j]))
+            for i in range(kh) for j in range(kw) if k[i, j] != 0.0
         ]
         kt = k.T
         blur_t = [
             (i - kt.shape[0] // 2, j - kt.shape[1] // 2, float(kt[i, j]))
-            for i in range(kt.shape[0])
-            for j in range(kt.shape[1])
+            for i in range(kt.shape[0]) for j in range(kt.shape[1])
             if kt[i, j] != 0.0
         ]
 
     def merge(warp, blur_list):
         acc: dict[tuple[int, int], float] = {}
-        for wr, wc, ww in warp:
+        for wr_, wc_, ww in warp:
             for br, bc, bw in blur_list:
-                key = (wr + br, wc + bc)
+                key = (wr_ + br, wc_ + bc)
                 acc[key] = acc.get(key, 0.0) + ww * bw
         return [(r, c, w) for (r, c), w in acc.items() if w != 0.0]
 
-    fwd = merge(_warp_taps(dx, dy), blur)
-    adj = merge(_warp_taps(-dx, -dy), blur_t)
-    return fwd, adj
+    return merge(_warp_taps(dx, dy), blur), merge(_warp_taps(-dx, -dy), blur_t)
 
 
 def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
+
+
+def _fdiv(a: int, s: int) -> tuple[int, int]:
+    """Floor divmod: a = s*q + r with r in [0, s)."""
+    q = a // s
+    return q, a - s * q
 
 
 def pallas_data_term_cost_and_grad(
@@ -124,6 +120,7 @@ def pallas_data_term_cost_and_grad(
     c, h, w = x.shape
     k_frames = observations.shape[0]
     s = int(scale)
+    dtype = x.dtype
     shift_list = [(float(sh[0]), float(sh[1])) for sh in np.asarray(static_shifts)]
     warp_taps = [_warp_taps(dx, dy) for dx, dy in shift_list]
     warp_adj_taps = [_warp_taps(-dx, -dy) for dx, dy in shift_list]
@@ -142,170 +139,231 @@ def pallas_data_term_cost_and_grad(
         kt = kk.T
         blur_t_taps = [
             (i - kt.shape[0] // 2, j - kt.shape[1] // 2, float(kt[i, j]))
-            for i in range(kt.shape[0]) for j in range(kt.shape[1]) if kt[i, j] != 0.0
+            for i in range(kt.shape[0]) for j in range(kt.shape[1])
+            if kt[i, j] != 0.0
         ]
 
-    # Stencil reach and margins. wr = warp reach; bp = blur reach. The warp
-    # output is cropped to the global image extent before the blur (reference
-    # BORDER_CONSTANT semantics at each stage), so the stages stay separate
-    # with an in-kernel global-extent mask between them.
+    # Margins (all static). wr = warp reach; P = adjoint/residual extension
+    # (multiple of s); za/ga = phase-plane margins in LR units; Q = window
+    # halo (multiple of s) sized so every in-kernel slice is in bounds.
     wr = 1
     for taps in warp_taps + warp_adj_taps:
         for dr, dc, _ in taps:
             wr = max(wr, abs(dr), abs(dc))
-    r_reach = wr + bp
-    p_ext = _round_up(r_reach, s)
-    q_halo = p_ext + r_reach
+    za = (bp + s - 1) // s + 1          # z1 margin beyond EXT, in LR units
+    ga = (wr + s - 1) // s + 1          # g1 margin beyond the tile, LR units
+    # pe >= ga + 1 lets the adjoint's g1 slices index the residual directly
+    # (no in-kernel pad — tpu.concatenate from pads crashes this Mosaic).
+    pe = max((wr + bp + s - 1) // s, ga + 1)
+    p_ext = s * pe
+    q_halo = _round_up(p_ext + s * za + wr + s, s)
+    qe = q_halo // s
 
-    # Pad the problem: H, W up to tile multiples, plus Q on each side of x.
+    tile = _round_up(tile, s)
+    tlr = tile // s
+    ext_lr = tlr + 2 * pe
+    lrw = (tile + 2 * q_halo) // s      # window size, LR units
+    n1 = ext_lr + 2 * za                # z1 phase-plane extent
+    z1off = qe - pe - za                # z1 plane start, window LR coords
+    ng1 = tlr + 2 * ga                  # g1 phase-plane extent
+    g1off = qe - ga                     # g1 plane start, window LR coords
+    assert z1off >= 0 and g1off >= 0
+
+    # ---- Host-side packing -------------------------------------------------
     hp = _round_up(h, tile)
     wp = _round_up(w, tile)
     n_ty, n_tx = hp // tile, wp // tile
+    n_tiles = n_ty * n_tx
     xp = jnp.pad(x, [(0, 0), (q_halo, q_halo + hp - h), (q_halo, q_halo + wp - w)])
-    # Observations padded to the extended LR grid (+P/s each side).
-    pe = p_ext // s
+    # Polyphase split: [s*s, c, (hp+2Q)/s, (wp+2Q)/s], plane p = pr*s+pc holds
+    # x[..., pr::s, pc::s].
+    hq, wq = hp + 2 * q_halo, wp + 2 * q_halo
+    xph = xp.reshape(c, hq // s, s, wq // s, s).transpose(2, 4, 0, 1, 3)
+    xph = xph.reshape(s * s, c, hq // s, wq // s)
+
+    pe_pad = pe
     yp = jnp.pad(
         observations,
-        [(0, 0), (0, 0), (pe, pe + (hp - h) // s), (pe, pe + (wp - w) // s)],
+        [(0, 0), (0, 0), (pe_pad, pe_pad + (hp - h) // s), (pe_pad, pe_pad + (wp - w) // s)],
     )
-    # Validity mask of the global LR grid on the padded grid.
-    mask_np = np.zeros((hp // s + 2 * pe, wp // s + 2 * pe), dtype=x.dtype)
+    mask_np = np.zeros((hp // s + 2 * pe, wp // s + 2 * pe), dtype=dtype)
     mask_np[pe : pe + h // s, pe : pe + w // s] = 1.0
     maskp = jnp.asarray(mask_np)
 
-    ext = tile + 2 * p_ext          # HR extent of the residual region
-    ext_lr = ext // s               # LR extent
-    src = tile + 2 * q_halo         # HR extent of the x slice each tile reads
+    # Overlapping windows, extracted with static slices (T is static).
+    xw, yw, mw = [], [], []
+    for ti in range(n_ty):
+        for tj in range(n_tx):
+            r0 = ti * tlr           # window start in padded-x LR coords
+            c0 = tj * tlr
+            xw.append(xph[:, :, r0 : r0 + lrw, c0 : c0 + lrw])
+            yw.append(yp[:, :, r0 : r0 + ext_lr, c0 : c0 + ext_lr])
+            mw.append(maskp[r0 : r0 + ext_lr, c0 : c0 + ext_lr])
+    xw = jnp.stack(xw)   # [T, s*s, c, lrw, lrw]
+    yw = jnp.stack(yw)   # [T, K, c, ext_lr, ext_lr]
+    mw = jnp.stack(mw)   # [T, ext_lr, ext_lr]
+    origins = np.array(
+        [[ti * tile, tj * tile] for ti in range(n_ty) for tj in range(n_tx)],
+        dtype=np.int32,
+    )
+    origins_j = jnp.asarray(origins)
 
-    def kernel_fn(xp_ref, yp_ref, mask_ref, grad_ref, cost_ref, xv, yv, mv, sems):
-        ti = pl.program_id(0)
-        tj = pl.program_id(1)
+    # ---- Kernel ------------------------------------------------------------
 
-        # DMA x tile + halo, observation tiles, and mask tile into VMEM.
-        copy_x = pltpu.make_async_copy(
-            xp_ref.at[:, pl.ds(ti * tile, src), pl.ds(tj * tile, src)],
-            xv,
-            sems.at[0],
-        )
-        copy_y = pltpu.make_async_copy(
-            yp_ref.at[:, :, pl.ds(ti * (tile // s), ext_lr), pl.ds(tj * (tile // s), ext_lr)],
-            yv,
-            sems.at[1],
-        )
-        copy_m = pltpu.make_async_copy(
-            mask_ref.at[pl.ds(ti * (tile // s), ext_lr), pl.ds(tj * (tile // s), ext_lr)],
-            mv,
-            sems.at[2],
-        )
-        copy_x.start()
-        copy_y.start()
-        copy_m.start()
-        copy_x.wait()
-        copy_y.wait()
-        copy_m.wait()
+    def kernel_fn(org_ref, xw_ref, yw_ref, mw_ref, grad_ref, cost_ref):
+        t = pl.program_id(0)
+        t0r = org_ref[t, 0]
+        t0c = org_ref[t, 1]
 
-        xt = xv[:]          # [C, src, src]
-        mask_t = mv[:]      # [ext_lr, ext_lr]
-        grad_acc = jnp.zeros((c, tile, tile), dtype=xt.dtype)
-        cost_acc = jnp.zeros((), dtype=jnp.float32)
+        def extent_mask(size, start_hr_r, start_hr_c, step):
+            # Mask of global-extent validity for a phase plane whose element i
+            # sits at global HR coord start + step*i along each axis.
+            rid = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+            cid = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+            rr = start_hr_r + step * rid
+            cc = start_hr_c + step * cid
+            valid = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+            return valid.astype(dtype)
 
-        def hr_mask(region_size, lead):
-            # Validity mask of the global HR extent [0,h)x[0,w) for a region
-            # starting at global coords (ti*tile - lead, tj*tile - lead).
-            gr0 = ti * tile - lead
-            gc0 = tj * tile - lead
-            rid = jax.lax.broadcasted_iota(jnp.int32, (region_size, region_size), 0)
-            cid = jax.lax.broadcasted_iota(jnp.int32, (region_size, region_size), 1)
-            valid = (
-                (rid + gr0 >= 0) & (rid + gr0 < h) & (cid + gc0 >= 0) & (cid + gc0 < w)
-            )
-            return valid.astype(xt.dtype)
-
-        ext1 = ext + 2 * bp            # warp-stage region (EXT + blur rim)
-        off1 = q_halo - p_ext - bp     # its start in x-slice coords
-        m_z1 = hr_mask(ext1, p_ext + bp)
-        g1_size = tile + 2 * wr        # adjoint blur-stage region
-        m_g1 = hr_mask(g1_size, wr)
-        pe_l = p_ext // s
+        mask_t = mw_ref[0]
+        grad_out = [[None for _ in range(s)] for _ in range(s)]
+        cost_acc = jnp.zeros((), jnp.float32)
 
         for k in range(k_frames):
-            # Stage 1: warp taps on x, then crop to the global extent.
-            z1 = None
-            for dr, dc, tw in warp_taps[k]:
-                sl = xt[:, off1 + dr : off1 + dr + ext1, off1 + dc : off1 + dc + ext1]
-                term = sl * jnp.asarray(tw, xt.dtype)
-                z1 = term if z1 is None else z1 + term
-            z1 = z1 * m_z1
+            # Stage 1: warp into z1 phase planes (masked to global extent).
+            z1 = {}
+            for psr in range(s):
+                for psc in range(s):
+                    acc = None
+                    for dr, dc, tw in warp_taps[k]:
+                        qr, phr = _fdiv(psr + dr, s)
+                        qc, phc = _fdiv(psc + dc, s)
+                        r_lo = z1off + qr
+                        c_lo = z1off + qc
+                        assert 0 <= r_lo and r_lo + n1 <= lrw, (r_lo, n1, lrw)
+                        sl = xw_ref[
+                            0, phr * s + phc, :,
+                            r_lo : r_lo + n1, c_lo : c_lo + n1,
+                        ]
+                        term = sl * jnp.asarray(tw, dtype)
+                        acc = term if acc is None else acc + term
+                    m = extent_mask(
+                        n1,
+                        t0r - p_ext - s * za + psr,
+                        t0c - p_ext - s * za + psc,
+                        s,
+                    )
+                    z1[(psr, psc)] = acc * m[None]
 
-            # Stage 2: blur taps on the dense EXT grid, then decimate by a
-            # reshape + index-0 select (strided slices on 3D arrays lower to
-            # unsupported >2D gathers in Mosaic; this form is pure slicing).
+            # Stage 2: blur straight onto the decimated (EXT) grid.
             z = None
             for dr, dc, tw in blur_taps:
-                sl = z1[:, bp + dr : bp + dr + ext, bp + dc : bp + dc + ext]
-                term = sl * jnp.asarray(tw, xt.dtype)
+                qr, phr = _fdiv(dr, s)
+                qc, phc = _fdiv(dc, s)
+                # z(q) at HR phase 0: source phase plane (phr, phc), LR offset
+                # za + q + qr within the z1 plane.
+                r_lo = za + qr
+                c_lo = za + qc
+                assert 0 <= r_lo and r_lo + ext_lr <= n1
+                sl = z1[(phr, phc)][:, r_lo : r_lo + ext_lr, c_lo : c_lo + ext_lr]
+                term = sl * jnp.asarray(tw, dtype)
                 z = term if z is None else z + term
-            z_lr = z.reshape(c, ext_lr, s, ext_lr, s)[:, :, 0, :, 0]
 
-            r = (z_lr - yv[k]) * mask_t
-            # Cost: only this tile's own LR pixels (the EXT rim belongs to
-            # neighboring tiles and would double-count).
-            r_center = r[:, pe_l : pe_l + tile // s, pe_l : pe_l + tile // s]
+            r = (z - yw_ref[0, k]) * mask_t[None]
+            r_center = r[:, pe : pe + tlr, pe : pe + tlr]
             cost_acc = cost_acc + jnp.sum((r_center * r_center).astype(jnp.float32))
 
-            # Adjoint stage 1: zero-upsample (interior-pad reshape) and apply
-            # transposed blur taps over the tile +- warp-reach region.
-            r_up = jnp.pad(
-                r[:, :, None, :, None],
-                ((0, 0), (0, 0), (0, s - 1), (0, 0), (0, s - 1)),
-            ).reshape(c, ext, ext)
-            g1 = None
-            g1_off = p_ext - wr
-            for dr, dc, tw in blur_t_taps:
-                sl = r_up[
-                    :, g1_off + dr : g1_off + dr + g1_size,
-                    g1_off + dc : g1_off + dc + g1_size,
-                ]
-                term = sl * jnp.asarray(tw, xt.dtype)
-                g1 = term if g1 is None else g1 + term
-            g1 = g1 * m_g1
+            # Adjoint stage 1: transposed blur of r into g1 phase planes.
+            g1 = {}
+            for psr in range(s):
+                for psc in range(s):
+                    acc = None
+                    for dr, dc, tw in blur_t_taps:
+                        ar, rem_r = _fdiv(psr + dr, s)
+                        ac, rem_c = _fdiv(psc + dc, s)
+                        if rem_r != 0 or rem_c != 0:
+                            continue  # lands between LR samples -> zero
+                        # g1 plane index i covers HR v = t0 - s*ga + s*i + ps;
+                        # the matching residual index is i + ar + pe - ga,
+                        # in bounds for all i because pe >= ga + 1.
+                        lo_r = pe + ar - ga
+                        lo_c = pe + ac - ga
+                        assert 0 <= lo_r and lo_r + ng1 <= ext_lr, lo_r
+                        assert 0 <= lo_c and lo_c + ng1 <= ext_lr, lo_c
+                        if acc is None:
+                            acc = [(lo_r, lo_c, tw)]
+                        else:
+                            acc.append((lo_r, lo_c, tw))
+                    if acc is None:
+                        g1[(psr, psc)] = None
+                        continue
+                    total = None
+                    for lo_r, lo_c, tw in acc:
+                        sl = r[:, lo_r : lo_r + ng1, lo_c : lo_c + ng1]
+                        term = sl * jnp.asarray(tw, dtype)
+                        total = term if total is None else total + term
+                    m = extent_mask(
+                        ng1, t0r - s * ga + psr, t0c - s * ga + psc, s
+                    )
+                    g1[(psr, psc)] = total * m[None]
 
-            # Adjoint stage 2: reverse-warp taps into the tile.
-            for dr, dc, tw in warp_adj_taps[k]:
-                sl = g1[:, wr + dr : wr + dr + tile, wr + dc : wr + dc + tile]
-                grad_acc = grad_acc + sl * jnp.asarray(tw, xt.dtype)
+            # Adjoint stage 2: reverse warp into the gradient's phase planes.
+            for phr_out in range(s):
+                for phc_out in range(s):
+                    acc = None
+                    for dr, dc, tw in warp_adj_taps[k]:
+                        qr, psr = _fdiv(phr_out + dr, s)
+                        qc, psc = _fdiv(phc_out + dc, s)
+                        src = g1[(psr, psc)]
+                        if src is None:
+                            continue
+                        lo_r = ga + qr
+                        lo_c = ga + qc
+                        assert 0 <= lo_r and lo_r + tlr <= ng1, (lo_r, tlr, ng1)
+                        sl = src[:, lo_r : lo_r + tlr, lo_c : lo_c + tlr]
+                        term = sl * jnp.asarray(tw, dtype)
+                        acc = term if acc is None else acc + term
+                    if acc is None:
+                        continue
+                    cur = grad_out[phr_out][phc_out]
+                    grad_out[phr_out][phc_out] = acc if cur is None else cur + acc
 
-        grad_ref[:] = grad_acc
-        cost_ref[ti, tj] = cost_acc
+        zero_plane = jnp.zeros((c, tlr, tlr), dtype)
+        for phr_out in range(s):
+            for phc_out in range(s):
+                val = grad_out[phr_out][phc_out]
+                grad_ref[0, phr_out * s + phc_out] = (
+                    zero_plane if val is None else val
+                )
+        cost_ref[t, 0] = cost_acc
 
-    grad_padded, cost_tiles = pl.pallas_call(
+    grad_phases, cost_tiles = pl.pallas_call(
         kernel_fn,
-        grid=(n_ty, n_tx),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((n_tiles, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, s * s, c, lrw, lrw), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, k_frames, c, ext_lr, ext_lr), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, ext_lr, ext_lr), lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((c, tile, tile), lambda i, j: (0, i, j)),
-            # Full-array SMEM block (TPU tiling rules forbid small blocked
-            # outputs); each grid step writes its own (ti, tj) element.
-            pl.BlockSpec((n_ty, n_tx), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, s * s, c, tlr, tlr), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((c, hp, wp), x.dtype),
-            jax.ShapeDtypeStruct((n_ty, n_tx), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((c, src, src), x.dtype),
-            pltpu.VMEM((k_frames, c, ext_lr, ext_lr), x.dtype),
-            pltpu.VMEM((ext_lr, ext_lr), x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            jax.ShapeDtypeStruct((n_tiles, s * s, c, tlr, tlr), dtype),
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, yp, maskp)
+    )(origins_j, xw, yw, mw)
 
+    # ---- Host-side reassembly ----------------------------------------------
+    # [T, s*s, c, tlr, tlr] -> [c, hp, wp]: tiles back to a grid, phases
+    # interleaved by the inverse polyphase transpose.
+    gp = grad_phases.reshape(n_ty, n_tx, s, s, c, tlr, tlr)
+    gp = gp.transpose(4, 0, 5, 2, 1, 6, 3)  # [c, n_ty, tlr, s, n_tx, tlr, s]
+    grad_padded = gp.reshape(c, hp, wp)
     s2 = float(s * s)
-    cost = s2 * jnp.sum(cost_tiles).astype(x.dtype)
+    cost = s2 * jnp.sum(cost_tiles).astype(dtype)
     grad = 2.0 * s2 * grad_padded[:, :h, :w]
     return cost, grad
