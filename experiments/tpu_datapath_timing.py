@@ -99,26 +99,32 @@ def main():
 
     tv = TotalVariationRegularizer()
     weights = (w,)
-    solve = jax.jit(
-        lambda x0: minimize(
-            lambda z: make_map_value_and_grad(
-                obs, shifts, kernel, scale, [(tv, 0.01)], static_shifts=shifts_np
-            )(z, weights),
-            x0,
-            max_iterations=50,
-            gradient_norm_threshold=0.0,
-            cost_decrease_threshold=0.0,
-            parameter_variation_threshold=0.0,
+
+    def time_solve(label, **vg_kwargs):
+        solve = jax.jit(
+            lambda x0: minimize(
+                lambda z: make_map_value_and_grad(
+                    obs, shifts, kernel, scale, [(tv, 0.01)], **vg_kwargs
+                )(z, weights),
+                x0,
+                max_iterations=50,
+                gradient_norm_threshold=0.0,
+                cost_decrease_threshold=0.0,
+                parameter_variation_threshold=0.0,
+            )
         )
-    )
-    r = solve(jnp.zeros_like(x))
-    jax.block_until_ready(r.x)
-    t0 = time.perf_counter()
-    r = solve(jnp.zeros_like(x))
-    jax.block_until_ready(r.x)
-    dt = time.perf_counter() - t0
-    print(f"50 CG iters (static+conv): {dt*1e3:.1f} ms -> {dt*1e3/50:.2f} ms/iter "
-          f"({50 * x.size / dt / 1e6:.1f} Mpixel-iters/s)")
+        r = solve(jnp.zeros_like(x))
+        jax.block_until_ready(r.x)
+        t0 = time.perf_counter()
+        r = solve(jnp.zeros_like(x))
+        jax.block_until_ready(r.x)
+        dt = time.perf_counter() - t0
+        print(f"50 CG iters ({label}): {dt*1e3:.1f} ms -> {dt*1e3/50:.2f} ms/iter "
+              f"({50 * x.size / dt / 1e6:.1f} Mpixel-iters/s)  final cost {float(r.cost):.6f}")
+
+    time_solve("traced+conv")
+    time_solve("static+conv", static_shifts=shifts_np)
+    time_solve("pallas fused", static_shifts=shifts_np, use_pallas=True)
 
 
 if __name__ == "__main__":
