@@ -53,14 +53,22 @@ def _run(device, iters, dtype):
         tv = TotalVariationRegularizer()
         weights = (jnp.ones_like(x0),)
 
+        # The production hot path: the fully fused Pallas MAP objective
+        # (polyphase warp->blur->decimate + adjoint + IRLS-weighted TV in one
+        # kernel), with the weight windows packed once outside the CG loop.
+        static_shifts = np.asarray(shifts)
+        use_pallas = jax.default_backend() != "cpu"
+
         @jax.jit
         def solve(x0, observations, shifts, weights):
             vg = make_map_value_and_grad(
-                observations, shifts, kernel, scale, [(tv, 0.01)], max_shift=3
+                observations, shifts, kernel, scale, [(tv, 0.01)], max_shift=3,
+                static_shifts=static_shifts if use_pallas else None,
+                use_pallas=use_pallas,
             )
             # Zero thresholds: run exactly `iters` CG iterations for timing.
             return minimize(
-                lambda x: vg(x, weights),
+                vg.prepare(weights),
                 x0,
                 method="cg",
                 max_iterations=iters,

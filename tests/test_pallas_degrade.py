@@ -74,3 +74,80 @@ def test_pallas_multichannel_nondivisible():
     )
     assert abs(float(cost_p) - float(cost_ref)) < 1e-4 * max(1.0, abs(float(cost_ref)))
     assert matrices_equal(np.asarray(grad_p), np.asarray(grad_ref), 1e-5)
+
+
+@pytest.mark.parametrize(
+    "shifts,scale,hw,tile",
+    [
+        ([(0, 0), (1, 1), (0, 1), (1, 0)], 4, (48, 48), 16),
+        ([(0, 0), (0.5, -0.5), (-1.25, 2.0)], 2, (38, 30), 16),
+        ([(0, 0), (2, -1)], 3, (33, 27), 24),
+    ],
+)
+def test_pallas_fused_tv_matches_reference(shifts, scale, hw, tile):
+    """Fused 2D TV (tv_constants) == unfused data term + ops/tv.py."""
+    from super_resolution_tpu.ops.tv import tv_cost_and_grad
+
+    x, obs, shifts_np, kernel = _problem(shifts, scale=scale, hw=hw, seed=83)
+    rng = np.random.default_rng(84)
+    constants = jnp.asarray(rng.random(x.shape), jnp.float32) * 0.05
+
+    cost_d, grad_d = data_term_cost_and_grad_static(
+        x, obs, shifts_np, jnp.asarray(kernel), scale
+    )
+    cost_tv, grad_tv = tv_cost_and_grad(x, constants)
+    cost_ref = float(cost_d + cost_tv)
+    grad_ref = np.asarray(grad_d + grad_tv)
+
+    cost_p, grad_p = pallas_data_term_cost_and_grad(
+        x, obs, shifts_np, kernel, scale, tile=tile, interpret=True,
+        tv_constants=constants,
+    )
+    assert abs(float(cost_p) - cost_ref) < 1e-4 * max(1.0, abs(cost_ref))
+    assert matrices_equal(np.asarray(grad_p), grad_ref, 1e-5)
+
+
+def test_fused_tv_multichannel():
+    """Multi-channel fused TV, tile not dividing the image."""
+    from super_resolution_tpu.ops.tv import tv_cost_and_grad
+
+    x, obs, shifts_np, kernel = _problem(
+        [(0, 0), (1, -1)], scale=2, c=3, hw=(22, 26), seed=85
+    )
+    rng = np.random.default_rng(86)
+    constants = jnp.asarray(rng.random(x.shape), jnp.float32) * 0.02
+    cost_d, grad_d = data_term_cost_and_grad_static(
+        x, obs, shifts_np, jnp.asarray(kernel), 2
+    )
+    cost_tv, grad_tv = tv_cost_and_grad(x, constants)
+    cost_p, grad_p = pallas_data_term_cost_and_grad(
+        x, obs, shifts_np, kernel, 2, tile=16, interpret=True,
+        tv_constants=constants,
+    )
+    assert abs(float(cost_p) - float(cost_d + cost_tv)) < 1e-4
+    assert matrices_equal(np.asarray(grad_p), np.asarray(grad_d + grad_tv), 1e-5)
+
+
+def test_make_map_value_and_grad_fuses_tv():
+    """use_pallas + a single 2D TV regularizer routes through the fused kernel
+    and matches the unfused analytic objective."""
+    from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+    from super_resolution_tpu.solvers.objective import make_map_value_and_grad
+
+    x, obs, shifts_np, kernel = _problem(
+        [(0, 0), (1, 1), (0, 1), (1, 0)], scale=2, hw=(32, 32), seed=87
+    )
+    tv = TotalVariationRegularizer()
+    shifts = jnp.asarray(shifts_np, jnp.float32)
+    weights = (jnp.asarray(np.random.default_rng(88).random(x.shape), jnp.float32),)
+    vg_ref = make_map_value_and_grad(
+        obs, shifts, jnp.asarray(kernel), 2, [(tv, 0.01)], static_shifts=shifts_np
+    )
+    vg_pallas = make_map_value_and_grad(
+        obs, shifts, jnp.asarray(kernel), 2, [(tv, 0.01)],
+        static_shifts=shifts_np, use_pallas=True,
+    )
+    c_ref, g_ref = vg_ref(x, weights)
+    c_p, g_p = vg_pallas(x, weights)
+    assert abs(float(c_p) - float(c_ref)) < 1e-4 * max(1.0, abs(float(c_ref)))
+    assert matrices_equal(np.asarray(g_p), np.asarray(g_ref), 1e-5)
