@@ -43,7 +43,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_data_term_cost_and_grad", "pack_tv_constants", "composite_taps"]
+__all__ = [
+    "pallas_data_term_cost_and_grad",
+    "pack_tv_constants",
+    "pack_btv_constants",
+    "composite_taps",
+]
 
 
 def _warp_taps(dx: float, dy: float):
@@ -133,6 +138,38 @@ def pack_tv_constants(
     return jnp.stack(cw)  # [T, s*s, c, nxt, nxt]
 
 
+def _btv_margin(scale_range: int, s: int) -> int:
+    """Up-left halo (in LR/plane units) for the BTV overlap terms, whose
+    sources sit up to ``scale_range - 1`` HR pixels up-left of the tile."""
+    return (max(scale_range - 1, 0) + s - 1) // s
+
+
+def pack_btv_constants(
+    constants: jnp.ndarray, scale: int, scale_range: int, tile: int = 256
+) -> jnp.ndarray:
+    """Pre-pack BTV constants (``lambda * irls_weight``) into per-tile phase
+    planes covering plane coords ``[-m, tlr)`` (up-left halo only); see
+    :func:`pack_tv_constants` for why packing is hoisted."""
+    c, h, w = constants.shape
+    s = int(scale)
+    m = _btv_margin(scale_range, s)
+    tile = _round_up(tile, s)
+    tlr = tile // s
+    hp = _round_up(h, tile)
+    wp = _round_up(w, tile)
+    n_ty, n_tx = hp // tile, wp // tile
+    nb = tlr + m
+    cpad = jnp.pad(constants, [(0, 0), (s * m, hp - h), (s * m, wp - w)])
+    cph = cpad.reshape(c, hp // s + m, s, wp // s + m, s).transpose(2, 4, 0, 1, 3)
+    cph = cph.reshape(s * s, c, hp // s + m, wp // s + m)
+    cw = []
+    for ti in range(n_ty):
+        for tj in range(n_tx):
+            r0, c0 = ti * tlr, tj * tlr
+            cw.append(cph[:, :, r0 : r0 + nb, c0 : c0 + nb])
+    return jnp.stack(cw)  # [T, s*s, c, nb, nb]
+
+
 def pallas_data_term_cost_and_grad(
     x: jnp.ndarray,
     observations: jnp.ndarray,
@@ -143,6 +180,10 @@ def pallas_data_term_cost_and_grad(
     interpret: bool = False,
     tv_constants: jnp.ndarray | None = None,
     tv_constants_packed: jnp.ndarray | None = None,
+    btv_constants: jnp.ndarray | None = None,
+    btv_constants_packed: jnp.ndarray | None = None,
+    btv_range: int = 0,
+    btv_decay: float = 1.0,
 ):
     """Fused data term: ``(cost, grad)`` of ``s^2 sum_k ||D B M_k x - y_k||^2``.
 
@@ -157,6 +198,13 @@ def pallas_data_term_cost_and_grad(
     slices of the phase planes already resident in VMEM — the whole MAP
     objective then costs one kernel launch and one extra small input
     (the constants window) per tile.
+
+    ``btv_constants`` (+ ``btv_range`` P, ``btv_decay`` a) likewise fuses
+    the bilateral TV term (``ops/btv.py``, reference
+    ``btv_regularizer.cpp``): residual taps over the inclusive
+    ``(P+1)^2`` down-right window, gradient taps over the exclusive
+    ``[0, P)^2`` window with the reference's image-origin source skip —
+    all integer phase offsets of the resident planes.
     """
     if not interpret and jax.default_backend() == "cpu":
         interpret = True  # Mosaic is TPU-only; CPU (tests/dev) interprets.
@@ -200,6 +248,13 @@ def pallas_data_term_cost_and_grad(
     pe = max((wr + bp + s - 1) // s, ga + 1)
     p_ext = s * pe
     q_halo = _round_up(p_ext + s * za + wr + s, s)
+    use_btv = btv_constants is not None or btv_constants_packed is not None
+    if use_btv:
+        if btv_range < 1:
+            raise ValueError("btv_range must be >= 1 when BTV is fused.")
+        bm = _btv_margin(btv_range, s)
+        # x accesses reach bm planes up-left and ceil(P/s) planes down-right.
+        q_halo = max(q_halo, s * max(bm, (btv_range + s - 1) // s, 1))
     qe = q_halo // s
 
     tile = _round_up(tile, s)
@@ -247,6 +302,19 @@ def pallas_data_term_cost_and_grad(
     elif use_tv:
         cw = pack_tv_constants(tv_constants, s, tile)
 
+    if use_btv:
+        nb = tlr + _btv_margin(btv_range, s)
+        if btv_constants_packed is not None:
+            cb = btv_constants_packed
+            if cb.shape != (n_tiles, s * s, c, nb, nb):
+                raise ValueError(
+                    f"btv_constants_packed shape {cb.shape} != expected "
+                    f"{(n_tiles, s * s, c, nb, nb)}; pack with the same "
+                    "tile size and scale_range."
+                )
+        else:
+            cb = pack_btv_constants(btv_constants, s, btv_range, tile)
+
     # Overlapping windows, extracted with static slices (T is static).
     xw, yw, mw = [], [], []
     for ti in range(n_ty):
@@ -268,10 +336,10 @@ def pallas_data_term_cost_and_grad(
     # ---- Kernel ------------------------------------------------------------
 
     def kernel_fn(org_ref, xw_ref, yw_ref, mw_ref, *rest):
-        if use_tv:
-            cw_ref, grad_ref, cost_ref = rest
-        else:
-            grad_ref, cost_ref = rest
+        rest = list(rest)
+        cw_ref = rest.pop(0) if use_tv else None
+        cb_ref = rest.pop(0) if use_btv else None
+        grad_ref, cost_ref = rest
         t = pl.program_id(0)
         t0r = org_ref[t, 0]
         t0c = org_ref[t, 1]
@@ -439,6 +507,91 @@ def pallas_data_term_cost_and_grad(
                     tvg = tvg + gy[(prm, pc)][:, 1 + qrm : 1 + qrm + tlr, 1:]
                     tv_out[pr][pc] = tvg
 
+        # ---- Fused bilateral TV (ops/btv.py semantics) -------------------
+        # r(p) = sum_{0<=i,j<=P} a^(i+j) |x(p) - x(p+(i,j))| (offsets leaving
+        # the image skipped); grad over the exclusive [0,P)^2 window:
+        # T_ij = a^(i+j)*2*cst*r*sign(D_ij); grad(p) += T_ij(p), and each
+        # source q (except the image origin) pushes -T_ij(q) to q+(i,j).
+        btv_out = [[None for _ in range(s)] for _ in range(s)]
+        reg_cost = jnp.zeros((), jnp.float32)
+        if use_btv:
+            P = btv_range
+            a = btv_decay
+            bm = _btv_margin(P, s)
+            nb = tlr + bm
+
+            def xb(pr, pc, dr, dc):
+                # Plane of x(t0 + s*(i-bm) + pr + dr, ...), extent nb.
+                qr, phr = _fdiv(pr + dr, s)
+                qc, phc = _fdiv(pc + dc, s)
+                r_lo = qe - bm + qr
+                c_lo = qe - bm + qc
+                assert 0 <= r_lo and r_lo + nb <= lrw, (r_lo, nb, lrw)
+                assert 0 <= c_lo and c_lo + nb <= lrw, (c_lo, nb, lrw)
+                return xw_ref[0, phr * s + phc, :, r_lo : r_lo + nb, c_lo : c_lo + nb]
+
+            uv = {}
+            gpl = {}
+            xcc = {}
+            for pr in range(s):
+                for pc in range(s):
+                    rid = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+                    cid = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+                    u = t0r - s * bm + pr + s * rid
+                    v = t0c - s * bm + pc + s * cid
+                    uv[(pr, pc)] = (u, v)
+                    xc = xb(pr, pc, 0, 0)
+                    xcc[(pr, pc)] = xc
+                    racc = None
+                    for i in range(P + 1):
+                        for j in range(P + 1):
+                            if i == 0 and j == 0:
+                                continue
+                            mk = ((u + i < h) & (v + j < w)).astype(dtype)
+                            d = (xc - xb(pr, pc, i, j)) * mk[None]
+                            term = jnp.asarray(a ** (i + j), dtype) * jnp.abs(d)
+                            racc = term if racc is None else racc + term
+                    cst = cb_ref[0, pr * s + pc]
+                    cr2 = cst * racc * racc
+                    reg_cost = reg_cost + jnp.sum(cr2[:, bm:, bm:].astype(jnp.float32))
+                    gpl[(pr, pc)] = 2.0 * cst * racc
+
+            acc = [[None for _ in range(s)] for _ in range(s)]
+
+            def add(ph, val):
+                cur = acc[ph[0]][ph[1]]
+                acc[ph[0]][ph[1]] = val if cur is None else cur + val
+
+            for i in range(P):
+                for j in range(P):
+                    w_ij = jnp.asarray(a ** (i + j), dtype)
+                    for pr in range(s):
+                        for pc in range(s):
+                            u, v = uv[(pr, pc)]
+                            mk = ((u + i < h) & (v + j < w)).astype(dtype)
+                            d = (xcc[(pr, pc)] - xb(pr, pc, i, j)) * mk[None]
+                            tt = w_ij * gpl[(pr, pc)] * jnp.sign(d)
+                            # Self term on the tile interior.
+                            add((pr, pc), tt[:, bm:, bm:])
+                            # Overlap term: source q -> target q+(i,j),
+                            # skipping sources at the global image origin
+                            # (btv_regularizer.cpp's offset==0,0 quirk).
+                            if i == 0 and j == 0:
+                                continue
+                            om = 1.0 - ((u == 0) & (v == 0)).astype(dtype)
+                            t0m = tt * om[None]
+                            qr2, prt = _fdiv(pr + i, s)
+                            qc2, pct = _fdiv(pc + j, s)
+                            add(
+                                (prt, pct),
+                                -t0m[
+                                    :,
+                                    bm - qr2 : bm - qr2 + tlr,
+                                    bm - qc2 : bm - qc2 + tlr,
+                                ],
+                            )
+            btv_out = acc
+
         two_s2 = jnp.asarray(2.0 * s * s, dtype)
         zero_plane = jnp.zeros((c, tlr, tlr), dtype)
         for phr_out in range(s):
@@ -447,8 +600,12 @@ def pallas_data_term_cost_and_grad(
                 val = zero_plane if val is None else two_s2 * val
                 if tv_out[phr_out][phc_out] is not None:
                     val = val + tv_out[phr_out][phc_out]
+                if btv_out[phr_out][phc_out] is not None:
+                    val = val + btv_out[phr_out][phc_out]
                 grad_ref[0, phr_out * s + phc_out] = val
-        cost_ref[t, 0] = jnp.asarray(float(s * s), jnp.float32) * cost_acc + tv_cost
+        cost_ref[t, 0] = (
+            jnp.asarray(float(s * s), jnp.float32) * cost_acc + tv_cost + reg_cost
+        )
 
     in_specs = [
         pl.BlockSpec((n_tiles, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -460,6 +617,12 @@ def pallas_data_term_cost_and_grad(
     if use_tv:
         in_specs.append(pl.BlockSpec((1, s * s, c, nxt, nxt), lambda i: (i, 0, 0, 0, 0)))
         inputs.append(cw)
+    if use_btv:
+        nb_spec = tlr + _btv_margin(btv_range, s)
+        in_specs.append(
+            pl.BlockSpec((1, s * s, c, nb_spec, nb_spec), lambda i: (i, 0, 0, 0, 0))
+        )
+        inputs.append(cb)
 
     grad_phases, cost_tiles = pl.pallas_call(
         kernel_fn,

@@ -151,7 +151,7 @@ def make_map_value_and_grad(
     if use_pallas and static_shifts is None:
         raise ValueError("use_pallas requires static_shifts.")
 
-    def data_cost_grad(x, tv_constants=None, tv_constants_packed=None):
+    def data_cost_grad(x, **fused_reg_kwargs):
         if use_pallas:
             from super_resolution_tpu.ops.pallas.degrade import (
                 pallas_data_term_cost_and_grad,
@@ -160,8 +160,7 @@ def make_map_value_and_grad(
             kernel_np = None if blur_kernel is None else __import__("numpy").asarray(blur_kernel)
             return pallas_data_term_cost_and_grad(
                 x, observations, static_shifts, kernel_np, scale,
-                tv_constants=tv_constants,
-                tv_constants_packed=tv_constants_packed,
+                **fused_reg_kwargs,
             )
         if static_shifts is not None:
             return data_term_cost_and_grad_static(
@@ -191,8 +190,9 @@ def make_map_value_and_grad(
         )
         return value_and_grad
 
-    # Single 2D TV term + Pallas: fuse the regularizer into the data-term
-    # kernel — one launch for the whole MAP objective evaluation.
+    # Single 2D TV or BTV term + Pallas: fuse the regularizer into the
+    # data-term kernel — one launch for the whole MAP objective evaluation.
+    from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
     from super_resolution_tpu.ops.tv import TotalVariationRegularizer
 
     fuse_tv = (
@@ -202,11 +202,25 @@ def make_map_value_and_grad(
         and not regs[0][0].use_3d
         and regs[0][1] > 0.0
     )
+    fuse_btv = (
+        use_pallas
+        and len(regs) == 1
+        and isinstance(regs[0][0], BilateralTotalVariationRegularizer)
+        and regs[0][1] > 0.0
+    )
 
     def value_and_grad(x, weights=()):
         if fuse_tv:
             lam = regs[0][1]
             return data_cost_grad(x, tv_constants=lam * tuple(weights)[0])
+        if fuse_btv:
+            reg, lam = regs[0]
+            return data_cost_grad(
+                x,
+                btv_constants=lam * tuple(weights)[0],
+                btv_range=reg.scale_range,
+                btv_decay=reg.spatial_decay,
+            )
         cost, grad = data_cost_grad(x)
         for (reg, lam), w in zip(regs, tuple(weights)):
             if lam <= 0.0:
@@ -226,6 +240,17 @@ def make_map_value_and_grad(
 
             packed = pack_tv_constants(regs[0][1] * weights[0], scale)
             return lambda x: data_cost_grad(x, tv_constants_packed=packed)
+        if fuse_btv:
+            from super_resolution_tpu.ops.pallas.degrade import pack_btv_constants
+
+            reg, lam = regs[0]
+            packed = pack_btv_constants(lam * weights[0], scale, reg.scale_range)
+            return lambda x: data_cost_grad(
+                x,
+                btv_constants_packed=packed,
+                btv_range=reg.scale_range,
+                btv_decay=reg.spatial_decay,
+            )
         return lambda x: value_and_grad(x, weights)
 
     value_and_grad.prepare = prepare

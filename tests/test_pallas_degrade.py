@@ -151,3 +151,64 @@ def test_make_map_value_and_grad_fuses_tv():
     c_p, g_p = vg_pallas(x, weights)
     assert abs(float(c_p) - float(c_ref)) < 1e-4 * max(1.0, abs(float(c_ref)))
     assert matrices_equal(np.asarray(g_p), np.asarray(g_ref), 1e-5)
+
+
+@pytest.mark.parametrize(
+    "shifts,scale,hw,tile,btv_range,decay",
+    [
+        ([(0, 0), (1, 1), (0, 1), (1, 0)], 4, (48, 48), 16, 3, 0.5),
+        ([(0, 0), (0.5, -0.5), (-1.25, 2.0)], 2, (38, 30), 16, 2, 0.25),
+        ([(0, 0), (2, -1)], 3, (33, 27), 24, 1, 0.7),
+    ],
+)
+def test_pallas_fused_btv_matches_reference(shifts, scale, hw, tile, btv_range, decay):
+    """Fused BTV (btv_constants) == unfused data term + ops/btv.py, incl. the
+    inclusive-residual/exclusive-gradient asymmetry and the image-origin
+    source skip."""
+    from super_resolution_tpu.ops.btv import btv_cost_and_grad
+
+    x, obs, shifts_np, kernel = _problem(shifts, scale=scale, hw=hw, seed=89)
+    rng = np.random.default_rng(90)
+    constants = jnp.asarray(rng.random(x.shape), jnp.float32) * 0.05
+
+    cost_d, grad_d = data_term_cost_and_grad_static(
+        x, obs, shifts_np, jnp.asarray(kernel), scale
+    )
+    cost_b, grad_b = btv_cost_and_grad(x, constants, btv_range, decay)
+    cost_ref = float(cost_d + cost_b)
+    grad_ref = np.asarray(grad_d + grad_b)
+
+    cost_p, grad_p = pallas_data_term_cost_and_grad(
+        x, obs, shifts_np, kernel, scale, tile=tile, interpret=True,
+        btv_constants=constants, btv_range=btv_range, btv_decay=decay,
+    )
+    assert abs(float(cost_p) - cost_ref) < 1e-4 * max(1.0, abs(cost_ref))
+    assert matrices_equal(np.asarray(grad_p), grad_ref, 1e-5)
+
+
+def test_make_map_value_and_grad_fuses_btv():
+    """use_pallas + a single BTV regularizer routes through the fused kernel;
+    prepare() pre-packs the weight windows and matches the per-call path."""
+    from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
+    from super_resolution_tpu.solvers.objective import make_map_value_and_grad
+
+    x, obs, shifts_np, kernel = _problem(
+        [(0, 0), (1, 1), (0, 1), (1, 0)], scale=2, hw=(32, 32), seed=91
+    )
+    btv = BilateralTotalVariationRegularizer(scale_range=3, spatial_decay=0.5)
+    shifts = jnp.asarray(shifts_np, jnp.float32)
+    weights = (jnp.asarray(np.random.default_rng(92).random(x.shape), jnp.float32),)
+    vg_ref = make_map_value_and_grad(
+        obs, shifts, jnp.asarray(kernel), 2, [(btv, 0.01)], static_shifts=shifts_np
+    )
+    vg_pallas = make_map_value_and_grad(
+        obs, shifts, jnp.asarray(kernel), 2, [(btv, 0.01)],
+        static_shifts=shifts_np, use_pallas=True,
+    )
+    c_ref, g_ref = vg_ref(x, weights)
+    c_p, g_p = vg_pallas(x, weights)
+    assert abs(float(c_p) - float(c_ref)) < 1e-4 * max(1.0, abs(float(c_ref)))
+    assert matrices_equal(np.asarray(g_p), np.asarray(g_ref), 1e-5)
+    c_q, g_q = vg_pallas.prepare(weights)(x)
+    assert abs(float(c_q) - float(c_p)) < 1e-6 * max(1.0, abs(float(c_p)))
+    assert matrices_equal(np.asarray(g_q), np.asarray(g_p), 1e-6)
