@@ -65,6 +65,9 @@ def _run(device, iters, dtype):
                 observations, shifts, kernel, scale, [(tv, 0.01)], max_shift=3,
                 static_shifts=static_shifts if use_pallas else None,
                 use_pallas=use_pallas,
+                # 512 measured fastest for this 1-channel shape
+                # (experiments/tpu_tile_sweep.py): 1.442 vs 1.552 ms/eval @256.
+                pallas_tile=512 if use_pallas else 0,
             )
             # Zero thresholds: run exactly `iters` CG iterations for timing.
             return minimize(

@@ -48,6 +48,7 @@ __all__ = [
     "pack_tv_constants",
     "pack_btv_constants",
     "composite_taps",
+    "choose_tile",
 ]
 
 
@@ -170,6 +171,103 @@ def pack_btv_constants(
     return jnp.stack(cw)  # [T, s*s, c, nb, nb]
 
 
+def _geometry(warp_taps, warp_adj_taps, kernel, s: int, tile: int,
+              use_btv: bool, btv_range: int):
+    """Static tile/margin arithmetic shared by the kernel and choose_tile.
+
+    Returns a dict of every extent the kernel needs; see the comments in
+    :func:`pallas_data_term_cost_and_grad` for the meaning of each margin.
+    """
+    if kernel is None:
+        bp = 0
+    else:
+        kk = np.asarray(kernel)
+        bp = max(kk.shape[0] // 2, kk.shape[1] // 2)
+    wr = 1
+    for taps in list(warp_taps) + list(warp_adj_taps):
+        for dr, dc, _ in taps:
+            wr = max(wr, abs(dr), abs(dc))
+    za = (bp + s - 1) // s + 1          # z1 margin beyond EXT, in LR units
+    ga = (wr + s - 1) // s + 1          # g1 margin beyond the tile, LR units
+    pe = max((wr + bp + s - 1) // s, ga + 1)
+    p_ext = s * pe
+    q_halo = _round_up(p_ext + s * za + wr + s, s)
+    if use_btv:
+        bm = _btv_margin(btv_range, s)
+        q_halo = max(q_halo, s * max(bm, (btv_range + s - 1) // s, 1))
+    qe = q_halo // s
+    tile = _round_up(tile, s)
+    tlr = tile // s
+    return dict(
+        bp=bp, wr=wr, za=za, ga=ga, pe=pe, p_ext=p_ext, q_halo=q_halo, qe=qe,
+        tile=tile, tlr=tlr,
+        ext_lr=tlr + 2 * pe,
+        lrw=(tile + 2 * q_halo) // s,
+        n1=(tlr + 2 * pe) + 2 * za,
+        z1off=qe - pe - za,
+        ng1=tlr + 2 * ga,
+        g1off=qe - ga,
+        nxt=tlr + 1,
+        nb=tlr + (_btv_margin(btv_range, s) if use_btv else 0),
+    )
+
+
+def choose_tile(
+    num_channels: int,
+    scale: int,
+    num_frames: int,
+    static_shifts,
+    kernel,
+    use_tv: bool = False,
+    use_btv: bool = False,
+    btv_range: int = 0,
+    requested: int = 256,
+    vmem_budget_bytes: int = 9 * 2**20,
+) -> int:
+    """Largest kernel tile (<= requested, multiple of scale) whose estimated
+    live VMEM fits the ~16 MB scoped limit with headroom.
+
+    The estimate mirrors the kernel's actual buffers: pipelined input/output
+    blocks (counted twice for double buffering) plus the per-frame
+    intermediates (z1/g1 phase planes, residual, gradient accumulator,
+    regularizer planes). Calibrated against a measured Mosaic scoped
+    allocation (38.45 MB for s=2, c=6, K=4, tile=256 vs a 23.4 MB estimate
+    — hence the conservative default budget).
+    """
+    s = int(scale)
+    c = int(num_channels)
+    k = int(num_frames)
+    shift_list = [(float(sh[0]), float(sh[1])) for sh in np.asarray(static_shifts)]
+    wt = [_warp_taps(dx, dy) for dx, dy in shift_list]
+    wat = [_warp_taps(-dx, -dy) for dx, dy in shift_list]
+    tile = _round_up(min(requested, 2048), s)
+    min_tile = _round_up(8, s)
+    while tile > min_tile:
+        g = _geometry(wt, wat, kernel, s, tile, use_btv, btv_range)
+        s2 = s * s
+        inputs = (
+            s2 * c * g["lrw"] ** 2
+            + k * c * g["ext_lr"] ** 2
+            + g["ext_lr"] ** 2
+            + (s2 * c * g["nxt"] ** 2 if use_tv else 0)
+            + (s2 * c * g["nb"] ** 2 if use_btv else 0)
+        )
+        outputs = s2 * c * g["tlr"] ** 2
+        inter = (
+            s2 * c * g["n1"] ** 2          # z1 planes
+            + c * g["ext_lr"] ** 2         # residual
+            + s2 * c * g["ng1"] ** 2       # g1 planes
+            + s2 * c * g["tlr"] ** 2       # gradient accumulator
+            + (3 * s2 * c * g["nxt"] ** 2 if use_tv else 0)
+            + (5 * s2 * c * g["nb"] ** 2 if use_btv else 0)
+        )
+        est = 4 * (2 * (inputs + outputs) + inter)
+        if est <= vmem_budget_bytes:
+            return g["tile"]
+        tile = _round_up(max(tile // 2, min_tile), s)
+    return min_tile
+
+
 def pallas_data_term_cost_and_grad(
     x: jnp.ndarray,
     observations: jnp.ndarray,
@@ -180,6 +278,7 @@ def pallas_data_term_cost_and_grad(
     interpret: bool = False,
     tv_constants: jnp.ndarray | None = None,
     tv_constants_packed: jnp.ndarray | None = None,
+    tv_use_3d: bool = False,
     btv_constants: jnp.ndarray | None = None,
     btv_constants_packed: jnp.ndarray | None = None,
     btv_range: int = 0,
@@ -197,7 +296,10 @@ def pallas_data_term_cost_and_grad(
     contributions are 1-HR-pixel offsets, i.e. integer phase/LR-offset
     slices of the phase planes already resident in VMEM — the whole MAP
     objective then costs one kernel launch and one extra small input
-    (the constants window) per tile.
+    (the constants window) per tile. ``tv_use_3d`` additionally fuses the
+    spectral (band-axis) TV term (``tv_regularizer.cpp:58-69,90-106``): the
+    band forward difference is a channel shift of the same resident plane,
+    so it adds no HBM traffic at all.
 
     ``btv_constants`` (+ ``btv_range`` P, ``btv_decay`` a) likewise fuses
     the bilateral TV term (``ops/btv.py``, reference
@@ -234,37 +336,20 @@ def pallas_data_term_cost_and_grad(
             if kt[i, j] != 0.0
         ]
 
-    # Margins (all static). wr = warp reach; P = adjoint/residual extension
-    # (multiple of s); za/ga = phase-plane margins in LR units; Q = window
-    # halo (multiple of s) sized so every in-kernel slice is in bounds.
-    wr = 1
-    for taps in warp_taps + warp_adj_taps:
-        for dr, dc, _ in taps:
-            wr = max(wr, abs(dr), abs(dc))
-    za = (bp + s - 1) // s + 1          # z1 margin beyond EXT, in LR units
-    ga = (wr + s - 1) // s + 1          # g1 margin beyond the tile, LR units
-    # pe >= ga + 1 lets the adjoint's g1 slices index the residual directly
-    # (no in-kernel pad — tpu.concatenate from pads crashes this Mosaic).
-    pe = max((wr + bp + s - 1) // s, ga + 1)
-    p_ext = s * pe
-    q_halo = _round_up(p_ext + s * za + wr + s, s)
+    # Margins (all static; see _geometry). wr = warp reach; P = adjoint/
+    # residual extension (multiple of s); za/ga = phase-plane margins in LR
+    # units; Q = window halo (multiple of s) sized so every in-kernel slice
+    # is in bounds. pe >= ga + 1 lets the adjoint's g1 slices index the
+    # residual directly (no in-kernel pad — tpu.concatenate from pads
+    # crashes this Mosaic).
     use_btv = btv_constants is not None or btv_constants_packed is not None
-    if use_btv:
-        if btv_range < 1:
-            raise ValueError("btv_range must be >= 1 when BTV is fused.")
-        bm = _btv_margin(btv_range, s)
-        # x accesses reach bm planes up-left and ceil(P/s) planes down-right.
-        q_halo = max(q_halo, s * max(bm, (btv_range + s - 1) // s, 1))
-    qe = q_halo // s
-
-    tile = _round_up(tile, s)
-    tlr = tile // s
-    ext_lr = tlr + 2 * pe
-    lrw = (tile + 2 * q_halo) // s      # window size, LR units
-    n1 = ext_lr + 2 * za                # z1 phase-plane extent
-    z1off = qe - pe - za                # z1 plane start, window LR coords
-    ng1 = tlr + 2 * ga                  # g1 phase-plane extent
-    g1off = qe - ga                     # g1 plane start, window LR coords
+    if use_btv and btv_range < 1:
+        raise ValueError("btv_range must be >= 1 when BTV is fused.")
+    geom = _geometry(warp_taps, warp_adj_taps, kernel, s, tile, use_btv, btv_range)
+    wr, za, ga, pe = geom["wr"], geom["za"], geom["ga"], geom["pe"]
+    p_ext, q_halo, qe = geom["p_ext"], geom["q_halo"], geom["qe"]
+    tile, tlr, ext_lr, lrw = geom["tile"], geom["tlr"], geom["ext_lr"], geom["lrw"]
+    n1, z1off, ng1, g1off = geom["n1"], geom["z1off"], geom["ng1"], geom["g1off"]
     assert z1off >= 0 and g1off >= 0
 
     # ---- Host-side packing -------------------------------------------------
@@ -477,8 +562,18 @@ def pallas_data_term_cost_and_grad(
                 assert 0 <= c_lo and c_lo + nxt <= lrw
                 return xw_ref[0, phr * s + phc, :, r_lo : r_lo + nxt, c_lo : c_lo + nxt]
 
+            fuse_z = tv_use_3d and c > 1
+            if fuse_z:
+                # Band masks: the spectral forward difference is zero at the
+                # last band; its shifted gradient contribution is zero at the
+                # first (tv_regularizer.cpp:58-69,90-106). Channel is a
+                # leading (untiled) axis, so the shift is a cheap re-slice.
+                band = jax.lax.broadcasted_iota(jnp.int32, (c, nxt, nxt), 0)
+                not_last = (band < c - 1).astype(dtype)
+
             gx = {}
             gy = {}
+            gz = {}
             for pr in range(s):
                 for pc in range(s):
                     xc = xplane(pr, pc, 0, 0)
@@ -492,12 +587,20 @@ def pallas_data_term_cost_and_grad(
                     dy = (xplane(pr, pc, 1, 0) - xc) * mdy[None]
                     cst = cw_ref[0, pr * s + pc]
                     r = jnp.abs(dx) + jnp.abs(dy)
+                    if fuse_z:
+                        # x(b+1) - x(b) at the same spatial offset: shift the
+                        # resident plane one band (wrap filler masked off).
+                        xn = jnp.concatenate([xc[1:], xc[:1]], axis=0)
+                        dz = (xn - xc) * not_last
+                        r = r + jnp.abs(dz)
                     g = 2.0 * cst * r
                     # Interior [1:, 1:] = exactly this tile's pixels.
                     cr2 = cst * r * r
                     tv_cost = tv_cost + jnp.sum(cr2[:, 1:, 1:].astype(jnp.float32))
                     gx[(pr, pc)] = g * jnp.sign(dx)
                     gy[(pr, pc)] = g * jnp.sign(dy)
+                    if fuse_z:
+                        gz[(pr, pc)] = g * jnp.sign(dz)
             for pr in range(s):
                 for pc in range(s):
                     qcm, pcm = _fdiv(pc - 1, s)
@@ -505,6 +608,14 @@ def pallas_data_term_cost_and_grad(
                     tvg = -(gx[(pr, pc)] + gy[(pr, pc)])[:, 1:, 1:]
                     tvg = tvg + gx[(pr, pcm)][:, 1:, 1 + qcm : 1 + qcm + tlr]
                     tvg = tvg + gy[(prm, pc)][:, 1 + qrm : 1 + qrm + tlr, 1:]
+                    if fuse_z:
+                        gzi = gz[(pr, pc)][:, 1:, 1:]
+                        # -g*sz at self, +shift_band(g*sz): band b receives
+                        # the term from band b-1 (zero into band 0).
+                        zfirst = jnp.zeros((1, tlr, tlr), dtype)
+                        tvg = tvg - gzi + jnp.concatenate(
+                            [zfirst, gzi[:-1]], axis=0
+                        )
                     tv_out[pr][pc] = tvg
 
         # ---- Fused bilateral TV (ops/btv.py semantics) -------------------

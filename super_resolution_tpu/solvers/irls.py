@@ -228,6 +228,7 @@ class IRLSMapSolver(MapSolverBase):
                 use_pallas=opts.use_pallas_data_term
                 and diff_mode == "analytic"
                 and self.mesh is None,
+                pallas_tile=opts.pallas_tile,
             )
             return minimize(
                 vg_full.prepare(weights),

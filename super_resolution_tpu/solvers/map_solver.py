@@ -31,6 +31,10 @@ class MapSolverOptions:
     # batched form fuses better), so off by default; kept for CPU use and
     # as the semantics reference for the Pallas kernel.
     use_static_shifts: bool = False
+    # Pallas kernel tile size in HR pixels; 0 = VMEM-aware automatic choice
+    # (ops/pallas/degrade.py choose_tile). 512 measured fastest for the
+    # 1-channel 4x 1000^2 benchmark shape.
+    pallas_tile: int = 0
 
     def adjust_thresholds_adaptively(
         self, num_parameters: int, regularization_parameter_sum: float

@@ -130,6 +130,7 @@ def make_map_value_and_grad(
     diff_mode: str = "analytic",
     static_shifts=None,
     use_pallas: bool = False,
+    pallas_tile: int = 0,
 ) -> Callable:
     """Build ``value_and_grad(x, weights) -> (cost, grad)`` for the MAP objective.
 
@@ -151,16 +152,54 @@ def make_map_value_and_grad(
     if use_pallas and static_shifts is None:
         raise ValueError("use_pallas requires static_shifts.")
 
+    # Fuse a single 2D/3D TV or BTV term into the data-term kernel — one
+    # launch for the whole MAP objective evaluation (flags needed up front
+    # so the VMEM-aware tile choice can account for the fused planes).
+    from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
+    from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+
+    fuse_tv = (
+        use_pallas
+        and len(regs) == 1
+        and isinstance(regs[0][0], TotalVariationRegularizer)
+        and regs[0][1] > 0.0
+    )
+    tv_use_3d = fuse_tv and regs[0][0].use_3d
+    fuse_btv = (
+        use_pallas
+        and len(regs) == 1
+        and isinstance(regs[0][0], BilateralTotalVariationRegularizer)
+        and regs[0][1] > 0.0
+    )
+
+    if use_pallas:
+        import numpy as _np
+
+        from super_resolution_tpu.ops.pallas.degrade import choose_tile
+
+        kernel_np = None if blur_kernel is None else _np.asarray(blur_kernel)
+        if pallas_tile <= 0:
+            # VMEM-aware automatic tile; an explicit pallas_tile overrides
+            # (e.g. 512 measured fastest for the 1-channel 4x bench shape).
+            pallas_tile = choose_tile(
+                observations.shape[1], scale, observations.shape[0],
+                static_shifts, kernel_np,
+                use_tv=fuse_tv, use_btv=fuse_btv,
+                btv_range=regs[0][0].scale_range if fuse_btv else 0,
+            )
+    else:
+        kernel_np = None
+        pallas_tile = 0
+
     def data_cost_grad(x, **fused_reg_kwargs):
         if use_pallas:
             from super_resolution_tpu.ops.pallas.degrade import (
                 pallas_data_term_cost_and_grad,
             )
 
-            kernel_np = None if blur_kernel is None else __import__("numpy").asarray(blur_kernel)
             return pallas_data_term_cost_and_grad(
                 x, observations, static_shifts, kernel_np, scale,
-                **fused_reg_kwargs,
+                tile=pallas_tile, **fused_reg_kwargs,
             )
         if static_shifts is not None:
             return data_term_cost_and_grad_static(
@@ -190,29 +229,12 @@ def make_map_value_and_grad(
         )
         return value_and_grad
 
-    # Single 2D TV or BTV term + Pallas: fuse the regularizer into the
-    # data-term kernel — one launch for the whole MAP objective evaluation.
-    from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
-    from super_resolution_tpu.ops.tv import TotalVariationRegularizer
-
-    fuse_tv = (
-        use_pallas
-        and len(regs) == 1
-        and isinstance(regs[0][0], TotalVariationRegularizer)
-        and not regs[0][0].use_3d
-        and regs[0][1] > 0.0
-    )
-    fuse_btv = (
-        use_pallas
-        and len(regs) == 1
-        and isinstance(regs[0][0], BilateralTotalVariationRegularizer)
-        and regs[0][1] > 0.0
-    )
-
     def value_and_grad(x, weights=()):
         if fuse_tv:
             lam = regs[0][1]
-            return data_cost_grad(x, tv_constants=lam * tuple(weights)[0])
+            return data_cost_grad(
+                x, tv_constants=lam * tuple(weights)[0], tv_use_3d=tv_use_3d
+            )
         if fuse_btv:
             reg, lam = regs[0]
             return data_cost_grad(
@@ -238,13 +260,17 @@ def make_map_value_and_grad(
         if fuse_tv:
             from super_resolution_tpu.ops.pallas.degrade import pack_tv_constants
 
-            packed = pack_tv_constants(regs[0][1] * weights[0], scale)
-            return lambda x: data_cost_grad(x, tv_constants_packed=packed)
+            packed = pack_tv_constants(regs[0][1] * weights[0], scale, pallas_tile)
+            return lambda x: data_cost_grad(
+                x, tv_constants_packed=packed, tv_use_3d=tv_use_3d
+            )
         if fuse_btv:
             from super_resolution_tpu.ops.pallas.degrade import pack_btv_constants
 
             reg, lam = regs[0]
-            packed = pack_btv_constants(lam * weights[0], scale, reg.scale_range)
+            packed = pack_btv_constants(
+                lam * weights[0], scale, reg.scale_range, pallas_tile
+            )
             return lambda x: data_cost_grad(
                 x,
                 btv_constants_packed=packed,

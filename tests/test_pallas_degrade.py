@@ -212,3 +212,63 @@ def test_make_map_value_and_grad_fuses_btv():
     c_q, g_q = vg_pallas.prepare(weights)(x)
     assert abs(float(c_q) - float(c_p)) < 1e-6 * max(1.0, abs(float(c_p)))
     assert matrices_equal(np.asarray(g_q), np.asarray(g_p), 1e-6)
+
+
+@pytest.mark.parametrize(
+    "shifts,scale,c,hw,tile",
+    [
+        ([(0, 0), (1, 1), (0, 1), (1, 0)], 2, 5, (32, 32), 16),
+        ([(0, 0), (0.5, -0.5)], 2, 3, (22, 26), 16),
+        ([(0, 0), (2, -1)], 3, 4, (33, 27), 24),
+        ([(0, 0), (1, 1)], 2, 1, (20, 20), 16),  # single band: dz == 0
+    ],
+)
+def test_pallas_fused_tv3d_matches_reference(shifts, scale, c, hw, tile):
+    """Fused 3D (spectral) TV == unfused data term + ops/tv.py use_3d=True."""
+    from super_resolution_tpu.ops.tv import tv_cost_and_grad
+
+    x, obs, shifts_np, kernel = _problem(shifts, scale=scale, c=c, hw=hw, seed=93)
+    rng = np.random.default_rng(94)
+    constants = jnp.asarray(rng.random(x.shape), jnp.float32) * 0.05
+
+    cost_d, grad_d = data_term_cost_and_grad_static(
+        x, obs, shifts_np, jnp.asarray(kernel), scale
+    )
+    cost_tv, grad_tv = tv_cost_and_grad(x, constants, use_3d=True)
+    cost_ref = float(cost_d + cost_tv)
+    grad_ref = np.asarray(grad_d + grad_tv)
+
+    cost_p, grad_p = pallas_data_term_cost_and_grad(
+        x, obs, shifts_np, kernel, scale, tile=tile, interpret=True,
+        tv_constants=constants, tv_use_3d=True,
+    )
+    assert abs(float(cost_p) - cost_ref) < 1e-4 * max(1.0, abs(cost_ref))
+    assert matrices_equal(np.asarray(grad_p), grad_ref, 1e-5)
+
+
+def test_make_map_value_and_grad_fuses_tv3d():
+    """use_pallas + a 3D TV regularizer routes through the fused kernel,
+    both per-call and via prepare()."""
+    from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+    from super_resolution_tpu.solvers.objective import make_map_value_and_grad
+
+    x, obs, shifts_np, kernel = _problem(
+        [(0, 0), (1, 1), (0, 1), (1, 0)], scale=2, c=4, hw=(32, 32), seed=95
+    )
+    tv3 = TotalVariationRegularizer(use_3d_total_variation=True)
+    shifts = jnp.asarray(shifts_np, jnp.float32)
+    weights = (jnp.asarray(np.random.default_rng(96).random(x.shape), jnp.float32),)
+    vg_ref = make_map_value_and_grad(
+        obs, shifts, jnp.asarray(kernel), 2, [(tv3, 0.01)], static_shifts=shifts_np
+    )
+    vg_pallas = make_map_value_and_grad(
+        obs, shifts, jnp.asarray(kernel), 2, [(tv3, 0.01)],
+        static_shifts=shifts_np, use_pallas=True,
+    )
+    c_ref, g_ref = vg_ref(x, weights)
+    c_p, g_p = vg_pallas(x, weights)
+    assert abs(float(c_p) - float(c_ref)) < 1e-4 * max(1.0, abs(float(c_ref)))
+    assert matrices_equal(np.asarray(g_p), np.asarray(g_ref), 1e-5)
+    c_q, g_q = vg_pallas.prepare(weights)(x)
+    assert abs(float(c_q) - float(c_p)) < 1e-6 * max(1.0, abs(float(c_p)))
+    assert matrices_equal(np.asarray(g_q), np.asarray(g_p), 1e-6)
