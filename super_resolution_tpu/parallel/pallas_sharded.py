@@ -1,0 +1,228 @@
+"""Band-sharded MAP objective running the fused Pallas kernel per shard.
+
+The GSPMD path (``data_parallel.py``) lets XLA partition the traced data
+term; this module instead uses ``shard_map`` so each device runs the fused
+Pallas MAP kernel (``ops/pallas/degrade.py``) on its local channel block —
+the single-chip production hot path, unchanged, times N devices.
+
+Why the band axis: the MAP objective with 2D TV/BTV is **band-separable**
+(the data term's degradation chain and both spatial regularizers never mix
+channels; only 3D spectral TV does, reference ``tv_regularizer.cpp:58-69``).
+Sharding the channel axis of x, the observations, and the IRLS weights
+therefore needs exactly ONE collective per objective evaluation — a scalar
+``psum`` of the cost over the band axis — while the gradient stays local to
+each shard. The motion shifts are shared by every shard, so the kernel's
+host-known tap tables are identical on all devices (SPMD-safe); frame-axis
+sharding is NOT compatible with the specialized kernel (different shifts
+per device would need different programs) and uses the GSPMD path instead.
+
+The CG/L-BFGS loop runs outside the shard_map under ``jit``: its dot
+products and axpy updates operate on band-sharded arrays and GSPMD inserts
+the (cheap, scalar) reductions. This mirrors the reference's
+``split_channels`` scaling axis (``irls_map_solver.cpp:200-229``) — the
+serial per-channel loop becomes N devices running the fused kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from super_resolution_tpu.parallel.mesh import BAND_AXIS, FRAME_AXIS
+from super_resolution_tpu.solvers.least_squares import minimize
+
+__all__ = ["make_band_sharded_pallas_vg", "make_band_sharded_pallas_solver"]
+
+
+def _band_size(mesh: Mesh) -> int:
+    return dict(zip(mesh.axis_names, mesh.devices.shape))[BAND_AXIS]
+
+
+def make_band_sharded_pallas_vg(
+    mesh: Mesh,
+    observations: jnp.ndarray,
+    static_shifts,
+    blur_kernel,
+    scale: int,
+    regularizers: Sequence[tuple[object, float]] = (),
+    pallas_tile: int = 0,
+    interpret: bool = False,
+):
+    """Build ``value_and_grad(x, weights)`` (with ``.prepare(weights)``) whose
+    evaluation is one fused Pallas kernel launch per device.
+
+    ``observations``: ``[K, C, h, w]`` with C divisible by the band-axis
+    size; ``static_shifts``: host-known ``[K, 2]``. A single 2D TV or BTV
+    regularizer is fused into the kernel; 3D TV couples bands and is
+    rejected. Empty ``regularizers`` gives the bare data term.
+    """
+    from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
+    from super_resolution_tpu.ops.pallas.degrade import (
+        choose_tile,
+        pack_btv_constants,
+        pack_tv_constants,
+        pallas_data_term_cost_and_grad,
+    )
+    from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+
+    if BAND_AXIS not in mesh.axis_names:
+        raise ValueError("Mesh must have a 'band' axis for band sharding.")
+    frame_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(FRAME_AXIS, 1)
+    if frame_size != 1:
+        raise ValueError(
+            "Frame-axis sharding is incompatible with the specialized Pallas "
+            "kernel (per-device shift tables would differ); use the GSPMD "
+            "path (make_sharded_map_solver) instead."
+        )
+    regs = tuple(regularizers)
+    if len(regs) > 1:
+        raise ValueError("The fused kernel supports at most one regularizer.")
+    fuse_tv = bool(regs) and isinstance(regs[0][0], TotalVariationRegularizer)
+    fuse_btv = bool(regs) and isinstance(regs[0][0], BilateralTotalVariationRegularizer)
+    if fuse_tv and regs[0][0].use_3d:
+        raise ValueError(
+            "3D spectral TV couples adjacent bands and cannot be band-sharded."
+        )
+    if regs and not (fuse_tv or fuse_btv):
+        raise ValueError(f"Unsupported regularizer type: {type(regs[0][0])!r}")
+
+    n_band = _band_size(mesh)
+    k, c, _, _ = observations.shape
+    if c % n_band:
+        raise ValueError(f"{c} channels not divisible by band axis size {n_band}.")
+    c_local = c // n_band
+    static_shifts = np.asarray(static_shifts)
+    kernel_np = None if blur_kernel is None else np.asarray(blur_kernel)
+    if pallas_tile <= 0:
+        pallas_tile = choose_tile(
+            c_local, scale, k, static_shifts, kernel_np,
+            use_tv=fuse_tv, use_btv=fuse_btv,
+            btv_range=regs[0][0].scale_range if fuse_btv else 0,
+        )
+    lam = regs[0][1] if regs else 0.0
+
+    x_spec = P(BAND_AXIS, None, None)
+    obs_spec = P(None, BAND_AXIS, None, None)
+
+    def _kernel(x_local, obs_local, **reg_kwargs):
+        cost, grad = pallas_data_term_cost_and_grad(
+            x_local, obs_local, static_shifts, kernel_np, scale,
+            tile=pallas_tile, interpret=interpret, **reg_kwargs,
+        )
+        # The one collective per evaluation: scalar cost over the band axis.
+        return lax.psum(cost, BAND_AXIS), grad
+
+    def value_and_grad(x, weights=()):
+        weights = tuple(weights)
+        if fuse_tv:
+            local = lambda xl, ol, wl: _kernel(xl, ol, tv_constants=lam * wl)
+            specs = (x_spec, obs_spec, x_spec)
+            args = (x, observations, weights[0])
+        elif fuse_btv:
+            local = lambda xl, ol, wl: _kernel(
+                xl, ol, btv_constants=lam * wl,
+                btv_range=regs[0][0].scale_range,
+                btv_decay=regs[0][0].spatial_decay,
+            )
+            specs = (x_spec, obs_spec, x_spec)
+            args = (x, observations, weights[0])
+        else:
+            local = lambda xl, ol: _kernel(xl, ol)
+            specs = (x_spec, obs_spec)
+            args = (x, observations)
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=specs, out_specs=(P(), x_spec),
+            check_vma=False,  # pallas_call out_shape carries no vma metadata
+        )(*args)
+
+    def prepare(weights):
+        """Bind the IRLS weights, packing the constants windows ONCE per
+        inner solve (per shard) — the same hoist the single-chip path does."""
+        weights = tuple(weights)
+        if fuse_tv:
+            pack = jax.shard_map(
+                lambda wl: pack_tv_constants(lam * wl, scale, pallas_tile),
+                mesh=mesh, in_specs=(x_spec,),
+                out_specs=P(None, None, BAND_AXIS, None, None),
+                check_vma=False,
+            )
+            packed = pack(weights[0])
+            local = lambda xl, ol, pl_: _kernel(xl, ol, tv_constants_packed=pl_)
+            pspec = P(None, None, BAND_AXIS, None, None)
+            return lambda x: jax.shard_map(
+                local, mesh=mesh, in_specs=(x_spec, obs_spec, pspec),
+                out_specs=(P(), x_spec), check_vma=False,
+            )(x, observations, packed)
+        if fuse_btv:
+            pack = jax.shard_map(
+                lambda wl: pack_btv_constants(
+                    lam * wl, scale, regs[0][0].scale_range, pallas_tile
+                ),
+                mesh=mesh, in_specs=(x_spec,),
+                out_specs=P(None, None, BAND_AXIS, None, None),
+                check_vma=False,
+            )
+            packed = pack(weights[0])
+            local = lambda xl, ol, pl_: _kernel(
+                xl, ol, btv_constants_packed=pl_,
+                btv_range=regs[0][0].scale_range,
+                btv_decay=regs[0][0].spatial_decay,
+            )
+            pspec = P(None, None, BAND_AXIS, None, None)
+            return lambda x: jax.shard_map(
+                local, mesh=mesh, in_specs=(x_spec, obs_spec, pspec),
+                out_specs=(P(), x_spec), check_vma=False,
+            )(x, observations, packed)
+        return lambda x: value_and_grad(x, weights)
+
+    value_and_grad.prepare = prepare
+    return value_and_grad
+
+
+def make_band_sharded_pallas_solver(
+    mesh: Mesh,
+    observations: jnp.ndarray,
+    static_shifts,
+    blur_kernel,
+    scale: int,
+    regularizers: Sequence[tuple[object, float]] = (),
+    method: str = "cg",
+    max_iterations: int = 50,
+    gradient_norm_threshold: float = 1e-6,
+    cost_decrease_threshold: float = 1e-6,
+    parameter_variation_threshold: float = 1e-6,
+    pallas_tile: int = 0,
+    interpret: bool = False,
+):
+    """Jitted band-sharded solve ``(x0, weights) -> MinimizeResult`` whose
+    inner objective is the per-shard fused Pallas kernel; the CG/L-BFGS
+    loop's vector algebra runs GSPMD-partitioned over the same sharding."""
+    vg = make_band_sharded_pallas_vg(
+        mesh, observations, static_shifts, blur_kernel, scale, regularizers,
+        pallas_tile=pallas_tile, interpret=interpret,
+    )
+    x_sharding = NamedSharding(mesh, P(BAND_AXIS, None, None))
+
+    @jax.jit
+    def solve(x0, weights=()):
+        x0 = lax.with_sharding_constraint(x0, x_sharding)
+        result = minimize(
+            vg.prepare(weights),
+            x0,
+            method=method,
+            max_iterations=max_iterations,
+            gradient_norm_threshold=gradient_norm_threshold,
+            cost_decrease_threshold=cost_decrease_threshold,
+            parameter_variation_threshold=parameter_variation_threshold,
+        )
+        return result._replace(
+            x=lax.with_sharding_constraint(result.x, x_sharding)
+        )
+
+    return solve

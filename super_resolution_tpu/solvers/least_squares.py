@@ -54,6 +54,9 @@ class MinimizeResult(NamedTuple):
     grad_norm: jnp.ndarray
     iterations: jnp.ndarray
     converged: jnp.ndarray
+    # Total objective (cost+grad) evaluations, incl. line-search trials and
+    # the initial one — the real unit of work (each is one fused kernel pass).
+    num_evaluations: jnp.ndarray | int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -226,7 +229,7 @@ def wolfe_line_search(
         )
 
     final = lax.while_loop(cond, body, init)
-    return final.a_star, final.phi_star, final.g_star, final.found
+    return final.a_star, final.phi_star, final.g_star, final.found, final.it
 
 
 class _MinState(NamedTuple):
@@ -238,6 +241,7 @@ class _MinState(NamedTuple):
     alpha_prev: jnp.ndarray
     dphi_prev: jnp.ndarray
     converged: jnp.ndarray
+    n_evals: jnp.ndarray
     # L-BFGS memory (unused by CG, zero-sized there).
     s_mem: jnp.ndarray
     y_mem: jnp.ndarray
@@ -255,6 +259,7 @@ def minimize(
     parameter_variation_threshold: float = 1e-6,
     memory: int = 5,
     log_iterations: bool = False,
+    line_search: LineSearchConfig | None = None,
 ) -> MinimizeResult:
     """Minimize a smooth objective given its fused value+gradient function.
 
@@ -280,7 +285,7 @@ def minimize(
     eps_g = jnp.asarray(gradient_norm_threshold, dtype)
     eps_f = jnp.asarray(cost_decrease_threshold, dtype)
     eps_x = jnp.asarray(parameter_variation_threshold, dtype)
-    ls_config = LineSearchConfig(c2=0.4 if method == "cg" else 0.9)
+    ls_config = line_search or LineSearchConfig(c2=0.4 if method == "cg" else 0.9)
 
     f0, g0 = value_and_grad(x0)
     f0 = f0.astype(dtype)
@@ -297,6 +302,7 @@ def minimize(
         alpha_prev=jnp.zeros((), dtype),
         dphi_prev=jnp.zeros((), dtype),
         converged=_norm(g0) <= eps_g,
+        n_evals=jnp.ones((), jnp.int32),
         s_mem=jnp.zeros((m, n), dtype),
         y_mem=jnp.zeros((m, n), dtype),
         rho_mem=jnp.zeros((m,), dtype),
@@ -329,7 +335,7 @@ def minimize(
                 s.mem_count == 0, 1.0 / jnp.maximum(gnorm, 1e-12), jnp.ones((), dtype)
             )
 
-        alpha, f_new, g_new, ls_ok = wolfe_line_search(
+        alpha, f_new, g_new, ls_ok, ls_evals = wolfe_line_search(
             value_and_grad, s.x, d, s.f, s.g, alpha0, ls_config
         )
         # If the line search found nothing acceptable, stay put (alpha = 0)
@@ -414,6 +420,7 @@ def minimize(
             alpha_prev=alpha,
             dphi_prev=dphi,
             converged=converged,
+            n_evals=s.n_evals + ls_evals,
             s_mem=s_mem,
             y_mem=y_mem,
             rho_mem=rho_mem,
@@ -427,4 +434,5 @@ def minimize(
         grad_norm=_norm(final.g),
         iterations=final.k,
         converged=final.converged,
+        num_evaluations=final.n_evals,
     )

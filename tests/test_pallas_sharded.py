@@ -1,0 +1,125 @@
+"""Band-sharded fused-Pallas objective == the single-device fused path.
+
+Runs on the virtual 8-device CPU mesh (conftest); the kernel interprets on
+CPU and compiles unchanged per shard on TPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from super_resolution_tpu.models import ImageModel, ImageModelParameters
+from super_resolution_tpu.motion import MotionShiftSequence
+from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
+from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+from super_resolution_tpu.parallel import (
+    BAND_AXIS,
+    FRAME_AXIS,
+    make_band_sharded_pallas_solver,
+    make_band_sharded_pallas_vg,
+    make_mesh,
+)
+from super_resolution_tpu.solvers import make_map_value_and_grad, minimize
+from super_resolution_tpu.utils.testing import matrices_equal
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _problem(c=8, hw=(24, 24), scale=2, seed=70):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.random((c, *hw)), jnp.float32)
+    seq = MotionShiftSequence([(0, 0), (1, 1), (0, 1), (1, 0)])
+    model = ImageModel.create(
+        ImageModelParameters(
+            scale=scale, blur_radius=3, blur_sigma=1.0, motion_sequence=seq
+        )
+    )
+    obs = jnp.stack([model.apply(x, k) for k in range(4)])
+    kernel = model.blur_operator.kernel.astype(np.float32)
+    return x, obs, seq.as_array(), kernel
+
+
+@pytest.mark.parametrize("reg_kind", ["none", "tv", "btv"])
+def test_band_sharded_vg_matches_single_device(reg_kind):
+    x, obs, shifts_np, kernel = _problem()
+    mesh = make_mesh({BAND_AXIS: 4}, jax.devices()[:4])
+    if reg_kind == "tv":
+        regs = [(TotalVariationRegularizer(), 0.01)]
+    elif reg_kind == "btv":
+        regs = [(BilateralTotalVariationRegularizer(2, 0.5), 0.01)]
+    else:
+        regs = []
+    weights = (
+        (jnp.asarray(np.random.default_rng(71).random(x.shape), jnp.float32),)
+        if regs
+        else ()
+    )
+
+    vg_single = make_map_value_and_grad(
+        obs, jnp.asarray(shifts_np, jnp.float32), jnp.asarray(kernel), 2,
+        regs, static_shifts=shifts_np, use_pallas=True,
+    )
+    vg_sharded = make_band_sharded_pallas_vg(
+        mesh, obs, shifts_np, kernel, 2, regs
+    )
+    c_ref, g_ref = vg_single(x, weights)
+    c_s, g_s = vg_sharded(x, weights)
+    assert abs(float(c_s) - float(c_ref)) < 1e-4 * max(1.0, abs(float(c_ref)))
+    assert matrices_equal(np.asarray(g_s), np.asarray(g_ref), 1e-5)
+    # prepare() (packed constants, the production inner-solve path) agrees.
+    c_p, g_p = vg_sharded.prepare(weights)(x)
+    assert abs(float(c_p) - float(c_s)) < 1e-5 * max(1.0, abs(float(c_s)))
+    assert matrices_equal(np.asarray(g_p), np.asarray(g_s), 1e-6)
+
+
+def test_band_sharded_solver_matches_unsharded():
+    x, obs, shifts_np, kernel = _problem(seed=72)
+    mesh = make_mesh({BAND_AXIS: 4}, jax.devices()[:4])
+    tv = TotalVariationRegularizer()
+    regs = [(tv, 0.005)]
+    weights = (jnp.ones_like(x),)
+
+    vg = make_map_value_and_grad(
+        obs, jnp.asarray(shifts_np, jnp.float32), jnp.asarray(kernel), 2,
+        regs, static_shifts=shifts_np, use_pallas=True,
+    )
+    ref = minimize(
+        vg.prepare(weights), jnp.zeros_like(x), method="cg", max_iterations=15,
+        gradient_norm_threshold=0.0, cost_decrease_threshold=0.0,
+        parameter_variation_threshold=0.0,
+    )
+    solve = make_band_sharded_pallas_solver(
+        mesh, obs, shifts_np, kernel, 2, regs, max_iterations=15,
+        gradient_norm_threshold=0.0, cost_decrease_threshold=0.0,
+        parameter_variation_threshold=0.0,
+    )
+    got = solve(jnp.zeros_like(x), weights)
+    assert int(got.iterations) == int(ref.iterations)
+    # Identical math modulo reduction order; the nonlinear solve amplifies
+    # f32 noise slightly over 15 iterations.
+    assert abs(float(got.cost) - float(ref.cost)) < 1e-3 * max(
+        1.0, abs(float(ref.cost))
+    )
+    assert matrices_equal(np.asarray(got.x), np.asarray(ref.x), 5e-4)
+
+
+def test_band_sharded_rejects_incompatible_configs():
+    x, obs, shifts_np, kernel = _problem()
+    with pytest.raises(ValueError, match="band"):
+        make_band_sharded_pallas_vg(
+            make_mesh({FRAME_AXIS: 4}, jax.devices()[:4]), obs, shifts_np, kernel, 2, []
+        )
+    mesh_fb = make_mesh({FRAME_AXIS: 2, BAND_AXIS: 2}, jax.devices()[:4])
+    with pytest.raises(ValueError, match="Frame-axis"):
+        make_band_sharded_pallas_vg(mesh_fb, obs, shifts_np, kernel, 2, [])
+    mesh = make_mesh({BAND_AXIS: 4}, jax.devices()[:4])
+    tv3 = TotalVariationRegularizer(use_3d_total_variation=True)
+    with pytest.raises(ValueError, match="3D"):
+        make_band_sharded_pallas_vg(mesh, obs, shifts_np, kernel, 2, [(tv3, 0.01)])
+    with pytest.raises(ValueError, match="divisible"):
+        make_band_sharded_pallas_vg(
+            make_mesh({BAND_AXIS: 3}, jax.devices()[:3]), obs, shifts_np, kernel, 2, []
+        )
