@@ -152,8 +152,9 @@ class IRLSMapSolver(MapSolverBase):
         if mesh is not None:
             from super_resolution_tpu.parallel.mesh import FRAME_AXIS, named_sharding
 
+            frame = FRAME_AXIS if FRAME_AXIS in mesh.axis_names else None
             self.shifts = jax.device_put(
-                self.shifts, named_sharding(mesh, FRAME_AXIS, None)
+                self.shifts, named_sharding(mesh, frame, None)
             )
 
         blur = image_model.blur_operator
@@ -215,6 +216,62 @@ class IRLSMapSolver(MapSolverBase):
         diff_mode = opts.diff_mode
 
         static_shifts = np.asarray(self.shifts)
+
+        # Mesh solves: route through the band-sharded fused-Pallas objective
+        # when the configuration allows it (band-only mesh, host-known
+        # shifts, at most one band-separable regularizer, channels divisible
+        # by the band axis); otherwise fall back to the GSPMD traced path.
+        if (
+            self.mesh is not None
+            and opts.use_pallas_data_term
+            and diff_mode == "analytic"
+        ):
+            from super_resolution_tpu.parallel.mesh import BAND_AXIS, FRAME_AXIS
+
+            from super_resolution_tpu.ops.btv import (
+                BilateralTotalVariationRegularizer,
+            )
+            from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+
+            axis_sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+            eligible = (
+                BAND_AXIS in axis_sizes
+                and axis_sizes.get(FRAME_AXIS, 1) == 1
+                and channels_per_split % axis_sizes[BAND_AXIS] == 0
+                and len(regs) <= 1
+                and all(
+                    isinstance(
+                        r, (TotalVariationRegularizer, BilateralTotalVariationRegularizer)
+                    )
+                    and not getattr(r, "use_3d", False)
+                    for r, _ in regs
+                )
+            )
+            if eligible:
+                from super_resolution_tpu.parallel.pallas_sharded import (
+                    make_band_sharded_pallas_vg,
+                )
+
+                mesh = self.mesh
+
+                def inner_sharded(x0, observations, shifts, weights):
+                    vg = make_band_sharded_pallas_vg(
+                        mesh, observations, static_shifts, kernel, scale,
+                        regs, pallas_tile=opts.pallas_tile,
+                    )
+                    return minimize(
+                        vg.prepare(weights),
+                        x0,
+                        method=opts.least_squares_solver,
+                        max_iterations=opts.max_num_solver_iterations,
+                        gradient_norm_threshold=opts.gradient_norm_threshold,
+                        cost_decrease_threshold=opts.cost_decrease_threshold,
+                        parameter_variation_threshold=opts.parameter_variation_threshold,
+                        memory=opts.num_lbfgs_hessian_corrections,
+                        log_iterations=self.verbose,
+                    )
+
+                return jax.jit(inner_sharded)
 
         def inner(x0, observations, shifts, weights):
             vg_full = make_map_value_and_grad(
