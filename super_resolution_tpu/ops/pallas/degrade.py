@@ -109,8 +109,20 @@ def _fdiv(a: int, s: int) -> tuple[int, int]:
     return q, a - s * q
 
 
+def _tile_pair(tile, s: int) -> tuple[int, int]:
+    """Normalize a tile spec (int = square, or (rows, cols)) to a pair of
+    multiples of the scale. Rectangular tiles matter on TPU: the plane
+    column extent maps to 128-wide vector lanes, so wide-short tiles (e.g.
+    256 x 1024) waste far fewer lanes than the equivalent square tile."""
+    if isinstance(tile, (tuple, list)):
+        tr, tc = int(tile[0]), int(tile[1])
+    else:
+        tr = tc = int(tile)
+    return _round_up(tr, s), _round_up(tc, s)
+
+
 def pack_tv_constants(
-    tv_constants: jnp.ndarray, scale: int, tile: int = 256
+    tv_constants: jnp.ndarray, scale: int, tile=256
 ) -> jnp.ndarray:
     """Pre-pack the TV constants (``lambda * irls_weight``, shape ``[C,H,W]``)
     into per-tile extended phase-plane windows for the fused kernel.
@@ -122,21 +134,21 @@ def pack_tv_constants(
     """
     c, h, w = tv_constants.shape
     s = int(scale)
-    tile = _round_up(tile, s)
-    tlr = tile // s
-    hp = _round_up(h, tile)
-    wp = _round_up(w, tile)
-    n_ty, n_tx = hp // tile, wp // tile
-    nxt = tlr + 1
+    tr, tc = _tile_pair(tile, s)
+    tlr_r, tlr_c = tr // s, tc // s
+    hp = _round_up(h, tr)
+    wp = _round_up(w, tc)
+    n_ty, n_tx = hp // tr, wp // tc
+    nxt_r, nxt_c = tlr_r + 1, tlr_c + 1
     cpad = jnp.pad(tv_constants, [(0, 0), (s, hp - h), (s, wp - w)])
     cph = cpad.reshape(c, hp // s + 1, s, wp // s + 1, s).transpose(2, 4, 0, 1, 3)
     cph = cph.reshape(s * s, c, hp // s + 1, wp // s + 1)
     cw = []
     for ti in range(n_ty):
         for tj in range(n_tx):
-            r0, c0 = ti * tlr, tj * tlr
-            cw.append(cph[:, :, r0 : r0 + nxt, c0 : c0 + nxt])
-    return jnp.stack(cw)  # [T, s*s, c, nxt, nxt]
+            r0, c0 = ti * tlr_r, tj * tlr_c
+            cw.append(cph[:, :, r0 : r0 + nxt_r, c0 : c0 + nxt_c])
+    return jnp.stack(cw)  # [T, s*s, c, nxt_r, nxt_c]
 
 
 def _btv_margin(scale_range: int, s: int) -> int:
@@ -146,7 +158,7 @@ def _btv_margin(scale_range: int, s: int) -> int:
 
 
 def pack_btv_constants(
-    constants: jnp.ndarray, scale: int, scale_range: int, tile: int = 256
+    constants: jnp.ndarray, scale: int, scale_range: int, tile=256
 ) -> jnp.ndarray:
     """Pre-pack BTV constants (``lambda * irls_weight``) into per-tile phase
     planes covering plane coords ``[-m, tlr)`` (up-left halo only); see
@@ -154,29 +166,30 @@ def pack_btv_constants(
     c, h, w = constants.shape
     s = int(scale)
     m = _btv_margin(scale_range, s)
-    tile = _round_up(tile, s)
-    tlr = tile // s
-    hp = _round_up(h, tile)
-    wp = _round_up(w, tile)
-    n_ty, n_tx = hp // tile, wp // tile
-    nb = tlr + m
+    tr, tc = _tile_pair(tile, s)
+    tlr_r, tlr_c = tr // s, tc // s
+    hp = _round_up(h, tr)
+    wp = _round_up(w, tc)
+    n_ty, n_tx = hp // tr, wp // tc
+    nb_r, nb_c = tlr_r + m, tlr_c + m
     cpad = jnp.pad(constants, [(0, 0), (s * m, hp - h), (s * m, wp - w)])
     cph = cpad.reshape(c, hp // s + m, s, wp // s + m, s).transpose(2, 4, 0, 1, 3)
     cph = cph.reshape(s * s, c, hp // s + m, wp // s + m)
     cw = []
     for ti in range(n_ty):
         for tj in range(n_tx):
-            r0, c0 = ti * tlr, tj * tlr
-            cw.append(cph[:, :, r0 : r0 + nb, c0 : c0 + nb])
-    return jnp.stack(cw)  # [T, s*s, c, nb, nb]
+            r0, c0 = ti * tlr_r, tj * tlr_c
+            cw.append(cph[:, :, r0 : r0 + nb_r, c0 : c0 + nb_c])
+    return jnp.stack(cw)  # [T, s*s, c, nb_r, nb_c]
 
 
-def _geometry(warp_taps, warp_adj_taps, kernel, s: int, tile: int,
+def _geometry(warp_taps, warp_adj_taps, kernel, s: int, tile,
               use_btv: bool, btv_range: int):
     """Static tile/margin arithmetic shared by the kernel and choose_tile.
 
-    Returns a dict of every extent the kernel needs; see the comments in
-    :func:`pallas_data_term_cost_and_grad` for the meaning of each margin.
+    Returns a dict of every extent the kernel needs; margins are isotropic,
+    extents are (row, col) pairs (tiles may be rectangular). See the
+    comments in :func:`pallas_data_term_cost_and_grad` for each margin.
     """
     if kernel is None:
         bp = 0
@@ -196,19 +209,20 @@ def _geometry(warp_taps, warp_adj_taps, kernel, s: int, tile: int,
         bm = _btv_margin(btv_range, s)
         q_halo = max(q_halo, s * max(bm, (btv_range + s - 1) // s, 1))
     qe = q_halo // s
-    tile = _round_up(tile, s)
-    tlr = tile // s
+    tr, tc = _tile_pair(tile, s)
+    tlr_r, tlr_c = tr // s, tc // s
+    nbm = _btv_margin(btv_range, s) if use_btv else 0
     return dict(
         bp=bp, wr=wr, za=za, ga=ga, pe=pe, p_ext=p_ext, q_halo=q_halo, qe=qe,
-        tile=tile, tlr=tlr,
-        ext_lr=tlr + 2 * pe,
-        lrw=(tile + 2 * q_halo) // s,
-        n1=(tlr + 2 * pe) + 2 * za,
+        tile=(tr, tc), tlr=(tlr_r, tlr_c),
+        ext_lr=(tlr_r + 2 * pe, tlr_c + 2 * pe),
+        lrw=((tr + 2 * q_halo) // s, (tc + 2 * q_halo) // s),
+        n1=(tlr_r + 2 * pe + 2 * za, tlr_c + 2 * pe + 2 * za),
         z1off=qe - pe - za,
-        ng1=tlr + 2 * ga,
+        ng1=(tlr_r + 2 * ga, tlr_c + 2 * ga),
         g1off=qe - ga,
-        nxt=tlr + 1,
-        nb=tlr + (_btv_margin(btv_range, s) if use_btv else 0),
+        nxt=(tlr_r + 1, tlr_c + 1),
+        nb=(tlr_r + nbm, tlr_c + nbm),
     )
 
 
@@ -245,25 +259,26 @@ def choose_tile(
     while tile > min_tile:
         g = _geometry(wt, wat, kernel, s, tile, use_btv, btv_range)
         s2 = s * s
+        area = lambda key: g[key][0] * g[key][1]
         inputs = (
-            s2 * c * g["lrw"] ** 2
-            + k * c * g["ext_lr"] ** 2
-            + g["ext_lr"] ** 2
-            + (s2 * c * g["nxt"] ** 2 if use_tv else 0)
-            + (s2 * c * g["nb"] ** 2 if use_btv else 0)
+            s2 * c * area("lrw")
+            + k * c * area("ext_lr")
+            + area("ext_lr")
+            + (s2 * c * area("nxt") if use_tv else 0)
+            + (s2 * c * area("nb") if use_btv else 0)
         )
-        outputs = s2 * c * g["tlr"] ** 2
+        outputs = s2 * c * area("tlr")
         inter = (
-            s2 * c * g["n1"] ** 2          # z1 planes
-            + c * g["ext_lr"] ** 2         # residual
-            + s2 * c * g["ng1"] ** 2       # g1 planes
-            + s2 * c * g["tlr"] ** 2       # gradient accumulator
-            + (3 * s2 * c * g["nxt"] ** 2 if use_tv else 0)
-            + (5 * s2 * c * g["nb"] ** 2 if use_btv else 0)
+            s2 * c * area("n1")            # z1 planes
+            + c * area("ext_lr")           # residual
+            + s2 * c * area("ng1")         # g1 planes
+            + s2 * c * area("tlr")         # gradient accumulator
+            + (3 * s2 * c * area("nxt") if use_tv else 0)
+            + (5 * s2 * c * area("nb") if use_btv else 0)
         )
         est = 4 * (2 * (inputs + outputs) + inter)
         if est <= vmem_budget_bytes:
-            return g["tile"]
+            return g["tile"][0]
         tile = _round_up(max(tile // 2, min_tile), s)
     return min_tile
 
@@ -348,14 +363,19 @@ def pallas_data_term_cost_and_grad(
     geom = _geometry(warp_taps, warp_adj_taps, kernel, s, tile, use_btv, btv_range)
     wr, za, ga, pe = geom["wr"], geom["za"], geom["ga"], geom["pe"]
     p_ext, q_halo, qe = geom["p_ext"], geom["q_halo"], geom["qe"]
-    tile, tlr, ext_lr, lrw = geom["tile"], geom["tlr"], geom["ext_lr"], geom["lrw"]
-    n1, z1off, ng1, g1off = geom["n1"], geom["z1off"], geom["ng1"], geom["g1off"]
+    tile_r, tile_c = geom["tile"]
+    tlr_r, tlr_c = geom["tlr"]
+    ext_r, ext_c = geom["ext_lr"]
+    lrw_r, lrw_c = geom["lrw"]
+    n1r, n1c = geom["n1"]
+    ng1r, ng1c = geom["ng1"]
+    z1off, g1off = geom["z1off"], geom["g1off"]
     assert z1off >= 0 and g1off >= 0
 
     # ---- Host-side packing -------------------------------------------------
-    hp = _round_up(h, tile)
-    wp = _round_up(w, tile)
-    n_ty, n_tx = hp // tile, wp // tile
+    hp = _round_up(h, tile_r)
+    wp = _round_up(w, tile_c)
+    n_ty, n_tx = hp // tile_r, wp // tile_c
     n_tiles = n_ty * n_tx
     xp = jnp.pad(x, [(0, 0), (q_halo, q_halo + hp - h), (q_halo, q_halo + wp - w)])
     # Polyphase split: [s*s, c, (hp+2Q)/s, (wp+2Q)/s], plane p = pr*s+pc holds
@@ -376,44 +396,44 @@ def pallas_data_term_cost_and_grad(
     # TV constants: phase planes with origin at plane coord -1 (one extra
     # HR row/col of halo up/left for the shifted gradient contributions).
     use_tv = tv_constants is not None or tv_constants_packed is not None
-    nxt = tlr + 1  # extended plane extent: plane coords [-1, tlr)
+    nxt_r, nxt_c = geom["nxt"]  # extended plane extent: plane coords [-1, tlr)
     if tv_constants_packed is not None:
         cw = tv_constants_packed
-        if cw.shape != (n_tiles, s * s, c, nxt, nxt):
+        if cw.shape != (n_tiles, s * s, c, nxt_r, nxt_c):
             raise ValueError(
                 f"tv_constants_packed shape {cw.shape} != expected "
-                f"{(n_tiles, s * s, c, nxt, nxt)}; pack with the same tile size."
+                f"{(n_tiles, s * s, c, nxt_r, nxt_c)}; pack with the same tile size."
             )
     elif use_tv:
-        cw = pack_tv_constants(tv_constants, s, tile)
+        cw = pack_tv_constants(tv_constants, s, (tile_r, tile_c))
 
     if use_btv:
-        nb = tlr + _btv_margin(btv_range, s)
+        nb_r, nb_c = geom["nb"]
         if btv_constants_packed is not None:
             cb = btv_constants_packed
-            if cb.shape != (n_tiles, s * s, c, nb, nb):
+            if cb.shape != (n_tiles, s * s, c, nb_r, nb_c):
                 raise ValueError(
                     f"btv_constants_packed shape {cb.shape} != expected "
-                    f"{(n_tiles, s * s, c, nb, nb)}; pack with the same "
+                    f"{(n_tiles, s * s, c, nb_r, nb_c)}; pack with the same "
                     "tile size and scale_range."
                 )
         else:
-            cb = pack_btv_constants(btv_constants, s, btv_range, tile)
+            cb = pack_btv_constants(btv_constants, s, btv_range, (tile_r, tile_c))
 
     # Overlapping windows, extracted with static slices (T is static).
     xw, yw, mw = [], [], []
     for ti in range(n_ty):
         for tj in range(n_tx):
-            r0 = ti * tlr           # window start in padded-x LR coords
-            c0 = tj * tlr
-            xw.append(xph[:, :, r0 : r0 + lrw, c0 : c0 + lrw])
-            yw.append(yp[:, :, r0 : r0 + ext_lr, c0 : c0 + ext_lr])
-            mw.append(maskp[r0 : r0 + ext_lr, c0 : c0 + ext_lr])
-    xw = jnp.stack(xw)   # [T, s*s, c, lrw, lrw]
-    yw = jnp.stack(yw)   # [T, K, c, ext_lr, ext_lr]
-    mw = jnp.stack(mw)   # [T, ext_lr, ext_lr]
+            r0 = ti * tlr_r         # window start in padded-x LR coords
+            c0 = tj * tlr_c
+            xw.append(xph[:, :, r0 : r0 + lrw_r, c0 : c0 + lrw_c])
+            yw.append(yp[:, :, r0 : r0 + ext_r, c0 : c0 + ext_c])
+            mw.append(maskp[r0 : r0 + ext_r, c0 : c0 + ext_c])
+    xw = jnp.stack(xw)   # [T, s*s, c, lrw_r, lrw_c]
+    yw = jnp.stack(yw)   # [T, K, c, ext_r, ext_c]
+    mw = jnp.stack(mw)   # [T, ext_r, ext_c]
     origins = np.array(
-        [[ti * tile, tj * tile] for ti in range(n_ty) for tj in range(n_tx)],
+        [[ti * tile_r, tj * tile_c] for ti in range(n_ty) for tj in range(n_tx)],
         dtype=np.int32,
     )
     origins_j = jnp.asarray(origins)
@@ -429,11 +449,11 @@ def pallas_data_term_cost_and_grad(
         t0r = org_ref[t, 0]
         t0c = org_ref[t, 1]
 
-        def extent_mask(size, start_hr_r, start_hr_c, step):
+        def extent_mask(size_r, size_c, start_hr_r, start_hr_c, step):
             # Mask of global-extent validity for a phase plane whose element i
             # sits at global HR coord start + step*i along each axis.
-            rid = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
-            cid = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+            rid = jax.lax.broadcasted_iota(jnp.int32, (size_r, size_c), 0)
+            cid = jax.lax.broadcasted_iota(jnp.int32, (size_r, size_c), 1)
             rr = start_hr_r + step * rid
             cc = start_hr_c + step * cid
             valid = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
