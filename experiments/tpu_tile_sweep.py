@@ -62,7 +62,12 @@ def main():
     kernel_np = model.blur_operator.kernel.astype(np.float32)
     constants = 0.01 * jnp.ones_like(x)
 
-    for tile in (128, 256, 512):
+    tiles = (128, 256, 512)
+    if len(sys.argv) > 1 and sys.argv[1] == "rect":
+        # Rectangular tiles: column extent maps to the 128-wide vector
+        # lanes, so wide-short tiles waste fewer lanes per slice.
+        tiles = ((256, 512), (128, 512), (512, 256), (256, 1024), (128, 1024), 512)
+    for tile in tiles:
         try:
             f = jax.jit(
                 lambda v, t=tile: pallas_data_term_cost_and_grad(

@@ -474,15 +474,17 @@ def pallas_data_term_cost_and_grad(
                         qc, phc = _fdiv(psc + dc, s)
                         r_lo = z1off + qr
                         c_lo = z1off + qc
-                        assert 0 <= r_lo and r_lo + n1 <= lrw, (r_lo, n1, lrw)
+                        assert 0 <= r_lo and r_lo + n1r <= lrw_r, (r_lo, n1r, lrw_r)
+                        assert 0 <= c_lo and c_lo + n1c <= lrw_c, (c_lo, n1c, lrw_c)
                         sl = xw_ref[
                             0, phr * s + phc, :,
-                            r_lo : r_lo + n1, c_lo : c_lo + n1,
+                            r_lo : r_lo + n1r, c_lo : c_lo + n1c,
                         ]
                         term = sl * jnp.asarray(tw, dtype)
                         acc = term if acc is None else acc + term
                     m = extent_mask(
-                        n1,
+                        n1r,
+                        n1c,
                         t0r - p_ext - s * za + psr,
                         t0c - p_ext - s * za + psc,
                         s,
@@ -498,13 +500,14 @@ def pallas_data_term_cost_and_grad(
                 # za + q + qr within the z1 plane.
                 r_lo = za + qr
                 c_lo = za + qc
-                assert 0 <= r_lo and r_lo + ext_lr <= n1
-                sl = z1[(phr, phc)][:, r_lo : r_lo + ext_lr, c_lo : c_lo + ext_lr]
+                assert 0 <= r_lo and r_lo + ext_r <= n1r
+                assert 0 <= c_lo and c_lo + ext_c <= n1c
+                sl = z1[(phr, phc)][:, r_lo : r_lo + ext_r, c_lo : c_lo + ext_c]
                 term = sl * jnp.asarray(tw, dtype)
                 z = term if z is None else z + term
 
             r = (z - yw_ref[0, k]) * mask_t[None]
-            r_center = r[:, pe : pe + tlr, pe : pe + tlr]
+            r_center = r[:, pe : pe + tlr_r, pe : pe + tlr_c]
             cost_acc = cost_acc + jnp.sum((r_center * r_center).astype(jnp.float32))
 
             # Adjoint stage 1: transposed blur of r into g1 phase planes.
@@ -522,8 +525,8 @@ def pallas_data_term_cost_and_grad(
                         # in bounds for all i because pe >= ga + 1.
                         lo_r = pe + ar - ga
                         lo_c = pe + ac - ga
-                        assert 0 <= lo_r and lo_r + ng1 <= ext_lr, lo_r
-                        assert 0 <= lo_c and lo_c + ng1 <= ext_lr, lo_c
+                        assert 0 <= lo_r and lo_r + ng1r <= ext_r, lo_r
+                        assert 0 <= lo_c and lo_c + ng1c <= ext_c, lo_c
                         if acc is None:
                             acc = [(lo_r, lo_c, tw)]
                         else:
@@ -533,11 +536,11 @@ def pallas_data_term_cost_and_grad(
                         continue
                     total = None
                     for lo_r, lo_c, tw in acc:
-                        sl = r[:, lo_r : lo_r + ng1, lo_c : lo_c + ng1]
+                        sl = r[:, lo_r : lo_r + ng1r, lo_c : lo_c + ng1c]
                         term = sl * jnp.asarray(tw, dtype)
                         total = term if total is None else total + term
                     m = extent_mask(
-                        ng1, t0r - s * ga + psr, t0c - s * ga + psc, s
+                        ng1r, ng1c, t0r - s * ga + psr, t0c - s * ga + psc, s
                     )
                     g1[(psr, psc)] = total * m[None]
 
@@ -553,8 +556,9 @@ def pallas_data_term_cost_and_grad(
                             continue
                         lo_r = ga + qr
                         lo_c = ga + qc
-                        assert 0 <= lo_r and lo_r + tlr <= ng1, (lo_r, tlr, ng1)
-                        sl = src[:, lo_r : lo_r + tlr, lo_c : lo_c + tlr]
+                        assert 0 <= lo_r and lo_r + tlr_r <= ng1r, (lo_r, tlr_r, ng1r)
+                        assert 0 <= lo_c and lo_c + tlr_c <= ng1c, (lo_c, tlr_c, ng1c)
+                        sl = src[:, lo_r : lo_r + tlr_r, lo_c : lo_c + tlr_c]
                         term = sl * jnp.asarray(tw, dtype)
                         acc = term if acc is None else acc + term
                     if acc is None:
@@ -578,9 +582,9 @@ def pallas_data_term_cost_and_grad(
                 qc, phc = _fdiv(pc + dc, s)
                 r_lo = qe - 1 + qr
                 c_lo = qe - 1 + qc
-                assert 0 <= r_lo and r_lo + nxt <= lrw
-                assert 0 <= c_lo and c_lo + nxt <= lrw
-                return xw_ref[0, phr * s + phc, :, r_lo : r_lo + nxt, c_lo : c_lo + nxt]
+                assert 0 <= r_lo and r_lo + nxt_r <= lrw_r
+                assert 0 <= c_lo and c_lo + nxt_c <= lrw_c
+                return xw_ref[0, phr * s + phc, :, r_lo : r_lo + nxt_r, c_lo : c_lo + nxt_c]
 
             fuse_z = tv_use_3d and c > 1
             if fuse_z:
@@ -588,7 +592,7 @@ def pallas_data_term_cost_and_grad(
                 # last band; its shifted gradient contribution is zero at the
                 # first (tv_regularizer.cpp:58-69,90-106). Channel is a
                 # leading (untiled) axis, so the shift is a cheap re-slice.
-                band = jax.lax.broadcasted_iota(jnp.int32, (c, nxt, nxt), 0)
+                band = jax.lax.broadcasted_iota(jnp.int32, (c, nxt_r, nxt_c), 0)
                 not_last = (band < c - 1).astype(dtype)
 
             gx = {}
@@ -597,8 +601,8 @@ def pallas_data_term_cost_and_grad(
             for pr in range(s):
                 for pc in range(s):
                     xc = xplane(pr, pc, 0, 0)
-                    rid = jax.lax.broadcasted_iota(jnp.int32, (nxt, nxt), 0)
-                    cid = jax.lax.broadcasted_iota(jnp.int32, (nxt, nxt), 1)
+                    rid = jax.lax.broadcasted_iota(jnp.int32, (nxt_r, nxt_c), 0)
+                    cid = jax.lax.broadcasted_iota(jnp.int32, (nxt_r, nxt_c), 1)
                     u = t0r - s + pr + s * rid
                     v = t0c - s + pc + s * cid
                     mdx = (v + 1 < w).astype(dtype)
@@ -626,13 +630,13 @@ def pallas_data_term_cost_and_grad(
                     qcm, pcm = _fdiv(pc - 1, s)
                     qrm, prm = _fdiv(pr - 1, s)
                     tvg = -(gx[(pr, pc)] + gy[(pr, pc)])[:, 1:, 1:]
-                    tvg = tvg + gx[(pr, pcm)][:, 1:, 1 + qcm : 1 + qcm + tlr]
-                    tvg = tvg + gy[(prm, pc)][:, 1 + qrm : 1 + qrm + tlr, 1:]
+                    tvg = tvg + gx[(pr, pcm)][:, 1:, 1 + qcm : 1 + qcm + tlr_c]
+                    tvg = tvg + gy[(prm, pc)][:, 1 + qrm : 1 + qrm + tlr_r, 1:]
                     if fuse_z:
                         gzi = gz[(pr, pc)][:, 1:, 1:]
                         # -g*sz at self, +shift_band(g*sz): band b receives
                         # the term from band b-1 (zero into band 0).
-                        zfirst = jnp.zeros((1, tlr, tlr), dtype)
+                        zfirst = jnp.zeros((1, tlr_r, tlr_c), dtype)
                         tvg = tvg - gzi + jnp.concatenate(
                             [zfirst, gzi[:-1]], axis=0
                         )
@@ -649,7 +653,7 @@ def pallas_data_term_cost_and_grad(
             P = btv_range
             a = btv_decay
             bm = _btv_margin(P, s)
-            nb = tlr + bm
+            nb_r, nb_c = tlr_r + bm, tlr_c + bm
 
             def xb(pr, pc, dr, dc):
                 # Plane of x(t0 + s*(i-bm) + pr + dr, ...), extent nb.
@@ -657,17 +661,17 @@ def pallas_data_term_cost_and_grad(
                 qc, phc = _fdiv(pc + dc, s)
                 r_lo = qe - bm + qr
                 c_lo = qe - bm + qc
-                assert 0 <= r_lo and r_lo + nb <= lrw, (r_lo, nb, lrw)
-                assert 0 <= c_lo and c_lo + nb <= lrw, (c_lo, nb, lrw)
-                return xw_ref[0, phr * s + phc, :, r_lo : r_lo + nb, c_lo : c_lo + nb]
+                assert 0 <= r_lo and r_lo + nb_r <= lrw_r, (r_lo, nb_r, lrw_r)
+                assert 0 <= c_lo and c_lo + nb_c <= lrw_c, (c_lo, nb_c, lrw_c)
+                return xw_ref[0, phr * s + phc, :, r_lo : r_lo + nb_r, c_lo : c_lo + nb_c]
 
             uv = {}
             gpl = {}
             xcc = {}
             for pr in range(s):
                 for pc in range(s):
-                    rid = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
-                    cid = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+                    rid = jax.lax.broadcasted_iota(jnp.int32, (nb_r, nb_c), 0)
+                    cid = jax.lax.broadcasted_iota(jnp.int32, (nb_r, nb_c), 1)
                     u = t0r - s * bm + pr + s * rid
                     v = t0c - s * bm + pc + s * cid
                     uv[(pr, pc)] = (u, v)
@@ -717,14 +721,14 @@ def pallas_data_term_cost_and_grad(
                                 (prt, pct),
                                 -t0m[
                                     :,
-                                    bm - qr2 : bm - qr2 + tlr,
-                                    bm - qc2 : bm - qc2 + tlr,
+                                    bm - qr2 : bm - qr2 + tlr_r,
+                                    bm - qc2 : bm - qc2 + tlr_c,
                                 ],
                             )
             btv_out = acc
 
         two_s2 = jnp.asarray(2.0 * s * s, dtype)
-        zero_plane = jnp.zeros((c, tlr, tlr), dtype)
+        zero_plane = jnp.zeros((c, tlr_r, tlr_c), dtype)
         for phr_out in range(s):
             for phc_out in range(s):
                 val = grad_out[phr_out][phc_out]
@@ -740,18 +744,20 @@ def pallas_data_term_cost_and_grad(
 
     in_specs = [
         pl.BlockSpec((n_tiles, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, s * s, c, lrw, lrw), lambda i: (i, 0, 0, 0, 0)),
-        pl.BlockSpec((1, k_frames, c, ext_lr, ext_lr), lambda i: (i, 0, 0, 0, 0)),
-        pl.BlockSpec((1, ext_lr, ext_lr), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, s * s, c, lrw_r, lrw_c), lambda i: (i, 0, 0, 0, 0)),
+        pl.BlockSpec((1, k_frames, c, ext_r, ext_c), lambda i: (i, 0, 0, 0, 0)),
+        pl.BlockSpec((1, ext_r, ext_c), lambda i: (i, 0, 0)),
     ]
     inputs = [origins_j, xw, yw, mw]
     if use_tv:
-        in_specs.append(pl.BlockSpec((1, s * s, c, nxt, nxt), lambda i: (i, 0, 0, 0, 0)))
+        in_specs.append(
+            pl.BlockSpec((1, s * s, c, nxt_r, nxt_c), lambda i: (i, 0, 0, 0, 0))
+        )
         inputs.append(cw)
     if use_btv:
-        nb_spec = tlr + _btv_margin(btv_range, s)
+        nbs_r, nbs_c = geom["nb"]
         in_specs.append(
-            pl.BlockSpec((1, s * s, c, nb_spec, nb_spec), lambda i: (i, 0, 0, 0, 0))
+            pl.BlockSpec((1, s * s, c, nbs_r, nbs_c), lambda i: (i, 0, 0, 0, 0))
         )
         inputs.append(cb)
 
@@ -760,11 +766,11 @@ def pallas_data_term_cost_and_grad(
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, s * s, c, tlr, tlr), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, s * s, c, tlr_r, tlr_c), lambda i: (i, 0, 0, 0, 0)),
             pl.BlockSpec((n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, s * s, c, tlr, tlr), dtype),
+            jax.ShapeDtypeStruct((n_tiles, s * s, c, tlr_r, tlr_c), dtype),
             jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
         ],
         interpret=interpret,
@@ -774,7 +780,7 @@ def pallas_data_term_cost_and_grad(
     # [T, s*s, c, tlr, tlr] -> [c, hp, wp]: tiles back to a grid, phases
     # interleaved by the inverse polyphase transpose. The s^2 / 2*s^2 data
     # scalings are applied inside the kernel (so the fused TV adds unscaled).
-    gp = grad_phases.reshape(n_ty, n_tx, s, s, c, tlr, tlr)
+    gp = grad_phases.reshape(n_ty, n_tx, s, s, c, tlr_r, tlr_c)
     gp = gp.transpose(4, 0, 5, 2, 1, 6, 3)  # [c, n_ty, tlr, s, n_tx, tlr, s]
     grad_padded = gp.reshape(c, hp, wp)
     cost = jnp.sum(cost_tiles).astype(dtype)

@@ -99,7 +99,7 @@ def make_band_sharded_pallas_vg(
     c_local = c // n_band
     static_shifts = np.asarray(static_shifts)
     kernel_np = None if blur_kernel is None else np.asarray(blur_kernel)
-    if pallas_tile <= 0:
+    if not (isinstance(pallas_tile, (tuple, list)) or pallas_tile > 0):
         pallas_tile = choose_tile(
             c_local, scale, k, static_shifts, kernel_np,
             use_tv=fuse_tv, use_btv=fuse_btv,

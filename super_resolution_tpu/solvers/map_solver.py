@@ -34,7 +34,7 @@ class MapSolverOptions:
     # Pallas kernel tile size in HR pixels; 0 = VMEM-aware automatic choice
     # (ops/pallas/degrade.py choose_tile). 512 measured fastest for the
     # 1-channel 4x 1000^2 benchmark shape.
-    pallas_tile: int = 0
+    pallas_tile: int | tuple[int, int] = 0  # 0 = VMEM-aware auto; (rows, cols) ok
 
     def adjust_thresholds_adaptively(
         self, num_parameters: int, regularization_parameter_sum: float

@@ -178,7 +178,10 @@ def make_map_value_and_grad(
         from super_resolution_tpu.ops.pallas.degrade import choose_tile
 
         kernel_np = None if blur_kernel is None else _np.asarray(blur_kernel)
-        if pallas_tile <= 0:
+        explicit = (
+            isinstance(pallas_tile, (tuple, list)) or pallas_tile > 0
+        )  # (rows, cols) tuples are always explicit
+        if not explicit:
             # VMEM-aware automatic tile; an explicit pallas_tile overrides
             # (e.g. 512 measured fastest for the 1-channel 4x bench shape).
             pallas_tile = choose_tile(

@@ -272,3 +272,54 @@ def test_make_map_value_and_grad_fuses_tv3d():
     c_q, g_q = vg_pallas.prepare(weights)(x)
     assert abs(float(c_q) - float(c_p)) < 1e-6 * max(1.0, abs(float(c_p)))
     assert matrices_equal(np.asarray(g_q), np.asarray(g_p), 1e-6)
+
+
+@pytest.mark.parametrize("tile", [(16, 32), (32, 16), (8, 24)])
+def test_rectangular_tiles_match_reference(tile):
+    """Rectangular (rows, cols) tile specs: data term + fused TV + fused BTV
+    all agree with the unfused path on a non-tile-divisible image. On real
+    TPUs wide-short tiles map better onto the 128-wide vector lanes; here we
+    only check correctness (interpret mode)."""
+    from super_resolution_tpu.ops.btv import btv_cost_and_grad
+    from super_resolution_tpu.ops.tv import tv_cost_and_grad
+    from super_resolution_tpu.ops.pallas.degrade import (
+        pack_btv_constants,
+        pack_tv_constants,
+    )
+
+    x, obs, shifts_np, kernel = _problem(
+        [(0, 0), (1.5, -0.5), (0, 1)], scale=2, c=2, hw=(26, 42), seed=97
+    )
+    rng = np.random.default_rng(98)
+    constants = jnp.asarray(rng.random(x.shape), jnp.float32) * 0.05
+
+    cost_d, grad_d = data_term_cost_and_grad_static(
+        x, obs, shifts_np, jnp.asarray(kernel), 2
+    )
+    cost_p, grad_p = pallas_data_term_cost_and_grad(
+        x, obs, shifts_np, kernel, 2, tile=tile, interpret=True
+    )
+    assert abs(float(cost_p) - float(cost_d)) < 1e-4 * max(1.0, abs(float(cost_d)))
+    assert matrices_equal(np.asarray(grad_p), np.asarray(grad_d), 1e-5)
+
+    # Fused TV with pre-packed rectangular-tile constants.
+    cost_tv, grad_tv = tv_cost_and_grad(x, constants)
+    packed = pack_tv_constants(constants, 2, tile)
+    cost_f, grad_f = pallas_data_term_cost_and_grad(
+        x, obs, shifts_np, kernel, 2, tile=tile, interpret=True,
+        tv_constants_packed=packed,
+    )
+    ref_c = float(cost_d + cost_tv)
+    assert abs(float(cost_f) - ref_c) < 1e-4 * max(1.0, abs(ref_c))
+    assert matrices_equal(np.asarray(grad_f), np.asarray(grad_d + grad_tv), 1e-5)
+
+    # Fused BTV with pre-packed rectangular-tile constants.
+    cost_b, grad_b = btv_cost_and_grad(x, constants, scale_range=2, spatial_decay=0.5)
+    packed_b = pack_btv_constants(constants, 2, 2, tile)
+    cost_fb, grad_fb = pallas_data_term_cost_and_grad(
+        x, obs, shifts_np, kernel, 2, tile=tile, interpret=True,
+        btv_constants_packed=packed_b, btv_range=2, btv_decay=0.5,
+    )
+    ref_cb = float(cost_d + cost_b)
+    assert abs(float(cost_fb) - ref_cb) < 1e-4 * max(1.0, abs(ref_cb))
+    assert matrices_equal(np.asarray(grad_fb), np.asarray(grad_d + grad_b), 1e-5)
