@@ -66,7 +66,7 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "rect":
         # Rectangular tiles: column extent maps to the 128-wide vector
         # lanes, so wide-short tiles waste fewer lanes per slice.
-        tiles = ((256, 512), (128, 512), (512, 256), (256, 1024), (128, 1024), 512)
+        tiles = ((512, 1024), (64, 1024), (256, 1024), 512, (256, 1024), 512)
     for tile in tiles:
         try:
             f = jax.jit(

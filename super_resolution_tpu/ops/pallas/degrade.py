@@ -226,6 +226,29 @@ def _geometry(warp_taps, warp_adj_taps, kernel, s: int, tile,
     )
 
 
+def _estimate_vmem(g, s: int, c: int, k: int, use_tv: bool, use_btv: bool) -> int:
+    """Estimated live VMEM (bytes) for one grid step of the fused kernel."""
+    s2 = s * s
+    area = lambda key: g[key][0] * g[key][1]
+    inputs = (
+        s2 * c * area("lrw")
+        + k * c * area("ext_lr")
+        + area("ext_lr")
+        + (s2 * c * area("nxt") if use_tv else 0)
+        + (s2 * c * area("nb") if use_btv else 0)
+    )
+    outputs = s2 * c * area("tlr")
+    inter = (
+        s2 * c * area("n1")            # z1 planes
+        + c * area("ext_lr")           # residual
+        + s2 * c * area("ng1")         # g1 planes
+        + s2 * c * area("tlr")         # gradient accumulator
+        + (3 * s2 * c * area("nxt") if use_tv else 0)
+        + (5 * s2 * c * area("nb") if use_btv else 0)
+    )
+    return 4 * (2 * (inputs + outputs) + inter)
+
+
 def choose_tile(
     num_channels: int,
     scale: int,
@@ -235,18 +258,25 @@ def choose_tile(
     use_tv: bool = False,
     use_btv: bool = False,
     btv_range: int = 0,
-    requested: int = 256,
+    requested: int | None = None,
     vmem_budget_bytes: int = 9 * 2**20,
-) -> int:
-    """Largest kernel tile (<= requested, multiple of scale) whose estimated
-    live VMEM fits the ~16 MB scoped limit with headroom.
+):
+    """Pick a kernel tile whose estimated live VMEM fits the ~16 MB scoped
+    limit with headroom.
 
-    The estimate mirrors the kernel's actual buffers: pipelined input/output
-    blocks (counted twice for double buffering) plus the per-frame
-    intermediates (z1/g1 phase planes, residual, gradient accumulator,
-    regularizer planes). Calibrated against a measured Mosaic scoped
-    allocation (38.45 MB for s=2, c=6, K=4, tile=256 vs a 23.4 MB estimate
-    — hence the conservative default budget).
+    With ``requested=None`` (the default) the choice walks a wide-short
+    preference ladder — the plane column extent maps onto the 128-wide
+    vector lanes, and (256, 1024) measured faster than the best square tile
+    on the v5e bench shape (experiments/tpu_tile_sweep.py) — and returns a
+    ``(rows, cols)`` pair. An explicit integer ``requested`` keeps the old
+    behavior (largest square <= requested, halving until it fits).
+
+    The VMEM estimate mirrors the kernel's actual buffers: pipelined
+    input/output blocks (counted twice for double buffering) plus the
+    per-frame intermediates (z1/g1 phase planes, residual, gradient
+    accumulator, regularizer planes). Calibrated against a measured Mosaic
+    scoped allocation (38.45 MB for s=2, c=6, K=4, tile=256 vs a 23.4 MB
+    estimate — hence the conservative default budget).
     """
     s = int(scale)
     c = int(num_channels)
@@ -254,30 +284,24 @@ def choose_tile(
     shift_list = [(float(sh[0]), float(sh[1])) for sh in np.asarray(static_shifts)]
     wt = [_warp_taps(dx, dy) for dx, dy in shift_list]
     wat = [_warp_taps(-dx, -dy) for dx, dy in shift_list]
-    tile = _round_up(min(requested, 2048), s)
     min_tile = _round_up(8, s)
+
+    if requested is None:
+        ladder = [
+            (256, 1024), (128, 1024), (512, 512), (256, 512), (128, 512),
+            (256, 256), (128, 256), (128, 128), (64, 128), (64, 64),
+            (32, 64), (32, 32), (16, 32), (16, 16), (8, 16), (8, 8),
+        ]
+        for cand in ladder:
+            g = _geometry(wt, wat, kernel, s, cand, use_btv, btv_range)
+            if _estimate_vmem(g, s, c, k, use_tv, use_btv) <= vmem_budget_bytes:
+                return g["tile"]
+        return (min_tile, min_tile)
+
+    tile = _round_up(min(requested, 2048), s)
     while tile > min_tile:
         g = _geometry(wt, wat, kernel, s, tile, use_btv, btv_range)
-        s2 = s * s
-        area = lambda key: g[key][0] * g[key][1]
-        inputs = (
-            s2 * c * area("lrw")
-            + k * c * area("ext_lr")
-            + area("ext_lr")
-            + (s2 * c * area("nxt") if use_tv else 0)
-            + (s2 * c * area("nb") if use_btv else 0)
-        )
-        outputs = s2 * c * area("tlr")
-        inter = (
-            s2 * c * area("n1")            # z1 planes
-            + c * area("ext_lr")           # residual
-            + s2 * c * area("ng1")         # g1 planes
-            + s2 * c * area("tlr")         # gradient accumulator
-            + (3 * s2 * c * area("nxt") if use_tv else 0)
-            + (5 * s2 * c * area("nb") if use_btv else 0)
-        )
-        est = 4 * (2 * (inputs + outputs) + inter)
-        if est <= vmem_budget_bytes:
+        if _estimate_vmem(g, s, c, k, use_tv, use_btv) <= vmem_budget_bytes:
             return g["tile"][0]
         tile = _round_up(max(tile // 2, min_tile), s)
     return min_tile
