@@ -65,9 +65,10 @@ def _run(device, iters, dtype):
                 observations, shifts, kernel, scale, [(tv, 0.01)], max_shift=3,
                 static_shifts=static_shifts if use_pallas else None,
                 use_pallas=use_pallas,
-                # 512 measured fastest for this 1-channel shape
-                # (experiments/tpu_tile_sweep.py): 1.442 vs 1.552 ms/eval @256.
-                pallas_tile=512 if use_pallas else 0,
+                # Wide-short tiles map better onto the 128-wide vector lanes:
+                # (256, 1024) measured 529 vs 520 Mpix-it/s @512 square on the
+                # full 50-iter solve (choose_tile's ladder prefers it too).
+                pallas_tile=(256, 1024) if use_pallas else 0,
             )
             # Zero thresholds: run exactly `iters` CG iterations for timing.
             return minimize(

@@ -240,6 +240,7 @@ class _MinState(NamedTuple):
     d: jnp.ndarray
     alpha_prev: jnp.ndarray
     dphi_prev: jnp.ndarray
+    f_prev: jnp.ndarray
     converged: jnp.ndarray
     n_evals: jnp.ndarray
     # L-BFGS memory (unused by CG, zero-sized there).
@@ -260,6 +261,7 @@ def minimize(
     memory: int = 5,
     log_iterations: bool = False,
     line_search: LineSearchConfig | None = None,
+    initial_step_mode: str = "scaled",
 ) -> MinimizeResult:
     """Minimize a smooth objective given its fused value+gradient function.
 
@@ -301,6 +303,7 @@ def minimize(
         d=d0,
         alpha_prev=jnp.zeros((), dtype),
         dphi_prev=jnp.zeros((), dtype),
+        f_prev=f0,
         converged=_norm(g0) <= eps_g,
         n_evals=jnp.ones((), jnp.int32),
         s_mem=jnp.zeros((m, n), dtype),
@@ -324,11 +327,26 @@ def minimize(
         gnorm = _norm(s.g).astype(dtype)
         if method == "cg":
             first_step = 1.0 / jnp.maximum(gnorm, 1e-12)
-            scaled = s.alpha_prev * s.dphi_prev / jnp.where(dphi == 0, 1.0, dphi)
+            safe_dphi = jnp.where(dphi == 0, 1.0, dphi)
+            scaled = s.alpha_prev * s.dphi_prev / safe_dphi
+            if initial_step_mode == "quadratic":
+                # N&W eq. just before 3.60: alpha0 from the one-dimensional
+                # quadratic through (f_{k-1}, f_k, dphi). Near-exact for the
+                # (near-)quadratic MAP objective -> first Wolfe trial usually
+                # accepts, saving line-search evaluations.
+                cand = 2.0 * (s.f - s.f_prev) / safe_dphi
+                cand = jnp.where(cand > 0, cand, scaled)
+            elif initial_step_mode == "quadratic_min":
+                cand = 2.0 * (s.f - s.f_prev) / safe_dphi
+                cand = jnp.where(
+                    cand > 0, jnp.minimum(1.01 * cand, scaled), scaled
+                )
+            else:
+                cand = scaled
             alpha0 = jnp.where(
                 s.k == 0,
                 first_step,
-                jnp.clip(scaled, 1e-12, 1e12),
+                jnp.clip(cand, 1e-12, 1e12),
             )
         else:
             alpha0 = jnp.where(
@@ -419,6 +437,7 @@ def minimize(
             d=d_new,
             alpha_prev=alpha,
             dphi_prev=dphi,
+            f_prev=s.f,
             converged=converged,
             n_evals=s.n_evals + ls_evals,
             s_mem=s_mem,
