@@ -271,6 +271,16 @@ def minimize(
     """
     if method not in ("cg", "lbfgs"):
         raise ValueError(f"Unknown method {method!r}; options: 'cg', 'lbfgs'")
+    if initial_step_mode not in ("scaled", "quadratic", "quadratic_min"):
+        raise ValueError(
+            f"Unknown initial_step_mode {initial_step_mode!r}; options: "
+            "'scaled', 'quadratic', 'quadratic_min'"
+        )
+    if method == "lbfgs" and initial_step_mode != "scaled":
+        raise ValueError(
+            "initial_step_mode applies to CG only: L-BFGS directions are "
+            "naturally scaled and always try alpha = 1 first."
+        )
     if log_iterations and jax.default_backend() == "axon":
         # This backend's PJRT has no host send/recv, so jax.debug.print
         # raises UNIMPLEMENTED at run time. Degrade gracefully.

@@ -23,10 +23,42 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+import signal  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 REFERENCE_TEST_DATA = "/root/reference/test_data"
+
+
+def pytest_configure(config):
+    # pytest-timeout is not installed in this environment; provide a minimal
+    # SIGALRM-based implementation so @pytest.mark.timeout(N) is enforced
+    # rather than a silent unknown-mark no-op.
+    config.addinivalue_line(
+        "markers",
+        "timeout(seconds): fail the test if it runs longer than `seconds` "
+        "(SIGALRM-based stand-in for the absent pytest-timeout plugin)",
+    )
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    marker = item.get_closest_marker("timeout")
+    if marker is None or not hasattr(signal, "SIGALRM"):
+        return (yield)
+    seconds = int(marker.args[0])
+
+    def _on_timeout(signum, frame):
+        raise TimeoutError(f"test exceeded timeout mark of {seconds}s")
+
+    old_handler = signal.signal(signal.SIGALRM, _on_timeout)
+    signal.alarm(seconds)
+    try:
+        return (yield)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_handler)
 
 
 @pytest.fixture(scope="session")

@@ -40,10 +40,14 @@ def test_entry_returns_jittable_step():
 @pytest.mark.parametrize("n_devices", [2])
 def test_dryrun_multichip_never_touches_default_backend(n_devices):
     # Subprocess: dryrun_multichip clears and re-initializes JAX backends,
-    # which must not leak into this test process. JAX_PLATFORMS is left at
-    # the environment default (axon in production) to prove the dryrun works
-    # even when the TPU tunnel is unreachable or slow.
+    # which must not leak into this test process. JAX_PLATFORMS is pinned to
+    # the production value (axon) explicitly — conftest.py already mutated
+    # os.environ to "cpu" at import, so inheriting the environment would NOT
+    # exercise the regression this test documents: with axon selected, any
+    # default-backend touch before the dryrun's CPU switch would block on the
+    # TPU tunnel handshake and trip the 240s timeout.
     env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"
     env.pop("XLA_FLAGS", None)  # conftest's 8-device flag; dryrun sets its own
     proc = subprocess.run(
         [

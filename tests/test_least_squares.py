@@ -32,6 +32,8 @@ def _quadratic_problem(n=16, seed=0):
 @pytest.mark.parametrize("method", ["cg", "lbfgs"])
 @pytest.mark.parametrize("mode", ["scaled", "quadratic", "quadratic_min"])
 def test_converges_to_quadratic_minimum(method, mode):
+    if method == "lbfgs" and mode != "scaled":
+        pytest.skip("initial_step_mode is a CG-only option (validated to raise)")
     vg, x_star = _quadratic_problem()
     result = minimize(
         vg,
@@ -77,3 +79,14 @@ def test_stopping_rules():
                   gradient_norm_threshold=1e-2)
     assert bool(r2.converged)
     assert int(r2.iterations) < 200
+
+
+def test_invalid_options_raise():
+    vg, x_star = _quadratic_problem()
+    x0 = jnp.zeros_like(x_star)
+    with pytest.raises(ValueError, match="initial_step_mode"):
+        minimize(vg, x0, initial_step_mode="quadradic")  # typo must not pass
+    with pytest.raises(ValueError, match="CG only"):
+        minimize(vg, x0, method="lbfgs", initial_step_mode="quadratic")
+    with pytest.raises(ValueError, match="method"):
+        minimize(vg, x0, method="newton")
