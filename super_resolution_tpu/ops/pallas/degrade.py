@@ -40,6 +40,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -184,19 +185,21 @@ def pack_btv_constants(
 
 
 def _geometry(warp_taps, warp_adj_taps, kernel, s: int, tile,
-              use_btv: bool, btv_range: int):
+              use_btv: bool, btv_range: int, wr_override: int | None = None):
     """Static tile/margin arithmetic shared by the kernel and choose_tile.
 
     Returns a dict of every extent the kernel needs; margins are isotropic,
     extents are (row, col) pairs (tiles may be rectangular). See the
     comments in :func:`pallas_data_term_cost_and_grad` for each margin.
+    ``wr_override`` sets the warp reach directly (the shift-generic kernel
+    sizes margins from a static |shift| bound instead of concrete taps).
     """
     if kernel is None:
         bp = 0
     else:
         kk = np.asarray(kernel)
         bp = max(kk.shape[0] // 2, kk.shape[1] // 2)
-    wr = 1
+    wr = 1 if wr_override is None else int(wr_override)
     for taps in list(warp_taps) + list(warp_adj_taps):
         for dr, dc, _ in taps:
             wr = max(wr, abs(dr), abs(dc))
@@ -249,6 +252,24 @@ def _estimate_vmem(g, s: int, c: int, k: int, use_tv: bool, use_btv: bool) -> in
     return 4 * (2 * (inputs + outputs) + inter)
 
 
+def shift_bound_bucket(bound: float) -> int:
+    """Round a |shift| bound up to the next power-of-two bucket (min 2).
+
+    The shift-generic kernel's compiled program depends only on this static
+    bound (margins scale with it); bucketing keeps the number of distinct
+    programs logarithmic in the motion magnitude across e.g. video windows.
+    """
+    b = 2
+    while b < bound:
+        b *= 2
+    return b
+
+
+def _bound_wr(shift_bound: float) -> int:
+    """Warp reach for the shift-generic kernel: |tap offset| <= floor(B)+1."""
+    return int(math.floor(float(shift_bound))) + 1
+
+
 def choose_tile(
     num_channels: int,
     scale: int,
@@ -260,6 +281,7 @@ def choose_tile(
     btv_range: int = 0,
     requested: int | None = None,
     vmem_budget_bytes: int = 9 * 2**20,
+    shift_bound: float | None = None,
 ):
     """Pick a kernel tile whose estimated live VMEM fits the ~16 MB scoped
     limit with headroom.
@@ -281,9 +303,14 @@ def choose_tile(
     s = int(scale)
     c = int(num_channels)
     k = int(num_frames)
-    shift_list = [(float(sh[0]), float(sh[1])) for sh in np.asarray(static_shifts)]
-    wt = [_warp_taps(dx, dy) for dx, dy in shift_list]
-    wat = [_warp_taps(-dx, -dy) for dx, dy in shift_list]
+    if shift_bound is not None:
+        wt, wat = [], []
+        wr_override = _bound_wr(shift_bound)
+    else:
+        shift_list = [(float(sh[0]), float(sh[1])) for sh in np.asarray(static_shifts)]
+        wt = [_warp_taps(dx, dy) for dx, dy in shift_list]
+        wat = [_warp_taps(-dx, -dy) for dx, dy in shift_list]
+        wr_override = None
     min_tile = _round_up(8, s)
 
     if requested is None:
@@ -293,14 +320,16 @@ def choose_tile(
             (32, 64), (32, 32), (16, 32), (16, 16), (8, 16), (8, 8),
         ]
         for cand in ladder:
-            g = _geometry(wt, wat, kernel, s, cand, use_btv, btv_range)
+            g = _geometry(wt, wat, kernel, s, cand, use_btv, btv_range,
+                          wr_override=wr_override)
             if _estimate_vmem(g, s, c, k, use_tv, use_btv) <= vmem_budget_bytes:
                 return g["tile"]
         return (min_tile, min_tile)
 
     tile = _round_up(min(requested, 2048), s)
     while tile > min_tile:
-        g = _geometry(wt, wat, kernel, s, tile, use_btv, btv_range)
+        g = _geometry(wt, wat, kernel, s, tile, use_btv, btv_range,
+                      wr_override=wr_override)
         if _estimate_vmem(g, s, c, k, use_tv, use_btv) <= vmem_budget_bytes:
             return g["tile"][0]
         tile = _round_up(max(tile // 2, min_tile), s)
@@ -322,6 +351,8 @@ def pallas_data_term_cost_and_grad(
     btv_constants_packed: jnp.ndarray | None = None,
     btv_range: int = 0,
     btv_decay: float = 1.0,
+    dynamic_shifts: jnp.ndarray | None = None,
+    shift_bound: float | None = None,
 ):
     """Fused data term: ``(cost, grad)`` of ``s^2 sum_k ||D B M_k x - y_k||^2``.
 
@@ -346,6 +377,18 @@ def pallas_data_term_cost_and_grad(
     ``(P+1)^2`` down-right window, gradient taps over the exclusive
     ``[0, P)^2`` window with the reference's image-origin source skip —
     all integer phase offsets of the resident planes.
+
+    **Shift-generic mode** (``dynamic_shifts`` + ``shift_bound``): the warp
+    tap tables become *runtime data* — per-frame integer tap bases (int32)
+    and bilinear weights computed with jnp from the traced ``[K, 2]`` shift
+    array, prefetched into SMEM — so ONE compiled kernel serves every shift
+    set with ``max(|dx|, |dy|) <= shift_bound``. The margins are sized from
+    the static bound; the warp stages read phase planes via a runtime plane
+    index + runtime slice starts, and the adjoint reverse-warp reads the g1
+    planes from a VMEM scratch buffer indexed the same way. This is what
+    makes estimated-motion solves, video sliding windows, and frame-sharded
+    meshes reuse a single compiled executable (each new shift set would
+    otherwise recompile for minutes through a remote-compile toolchain).
     """
     if not interpret and jax.default_backend() == "cpu":
         interpret = True  # Mosaic is TPU-only; CPU (tests/dev) interprets.
@@ -353,9 +396,17 @@ def pallas_data_term_cost_and_grad(
     k_frames = observations.shape[0]
     s = int(scale)
     dtype = x.dtype
-    shift_list = [(float(sh[0]), float(sh[1])) for sh in np.asarray(static_shifts)]
-    warp_taps = [_warp_taps(dx, dy) for dx, dy in shift_list]
-    warp_adj_taps = [_warp_taps(-dx, -dy) for dx, dy in shift_list]
+    dynamic = dynamic_shifts is not None
+    if dynamic:
+        if shift_bound is None:
+            raise ValueError("dynamic_shifts requires a static shift_bound.")
+        warp_taps, warp_adj_taps = [], []
+        wr_override = _bound_wr(shift_bound)
+    else:
+        shift_list = [(float(sh[0]), float(sh[1])) for sh in np.asarray(static_shifts)]
+        warp_taps = [_warp_taps(dx, dy) for dx, dy in shift_list]
+        warp_adj_taps = [_warp_taps(-dx, -dy) for dx, dy in shift_list]
+        wr_override = None
     if kernel is None:
         blur_taps = [(0, 0, 1.0)]
         blur_t_taps = [(0, 0, 1.0)]
@@ -384,7 +435,8 @@ def pallas_data_term_cost_and_grad(
     use_btv = btv_constants is not None or btv_constants_packed is not None
     if use_btv and btv_range < 1:
         raise ValueError("btv_range must be >= 1 when BTV is fused.")
-    geom = _geometry(warp_taps, warp_adj_taps, kernel, s, tile, use_btv, btv_range)
+    geom = _geometry(warp_taps, warp_adj_taps, kernel, s, tile, use_btv,
+                     btv_range, wr_override=wr_override)
     wr, za, ga, pe = geom["wr"], geom["za"], geom["ga"], geom["pe"]
     p_ext, q_halo, qe = geom["p_ext"], geom["q_halo"], geom["qe"]
     tile_r, tile_c = geom["tile"]
@@ -395,6 +447,42 @@ def pallas_data_term_cost_and_grad(
     ng1r, ng1c = geom["ng1"]
     z1off, g1off = geom["z1off"], geom["g1off"]
     assert z1off >= 0 and g1off >= 0
+
+    if dynamic:
+        # Runtime warp tap tables (SMEM inputs). Bilinear warp by (dx, dy):
+        # out(u) = sum_{a,b in {0,1}} wy_a*wx_b * x(u_r - (iy+a), u_c - (ix+b))
+        # with iy = floor(dy) etc. — so per frame the taps are fully described
+        # by integer bases (-iy, -ix) (tap offset = base - a) and 4 weights.
+        # Forward taps come from (dx, dy), adjoint taps from (-dx, -dy)
+        # (motion_module.cpp:29-51 semantics, same as _warp_taps).
+        def _tap_tables(dx, dy):
+            ix, iy = jnp.floor(dx), jnp.floor(dy)
+            fx, fy = dx - ix, dy - iy
+            base_r = (-iy).astype(jnp.int32)
+            base_c = (-ix).astype(jnp.int32)
+            wgt = jnp.stack(
+                [(1 - fy) * (1 - fx), (1 - fy) * fx, fy * (1 - fx), fy * fx],
+                axis=-1,
+            )  # [K, 4], index a*2+b
+            return base_r, base_c, wgt
+
+        sh = jnp.asarray(dynamic_shifts)
+        dxs, dys = sh[:, 0].astype(dtype), sh[:, 1].astype(dtype)
+        f_r, f_c, f_w = _tap_tables(dxs, dys)
+        a_r, a_c, a_w = _tap_tables(-dxs, -dys)
+        tap_int = jnp.stack([f_r, f_c, a_r, a_c], axis=1)      # [K, 4] int32
+        tap_wgt = jnp.concatenate([f_w, a_w], axis=1).astype(dtype)  # [K, 8]
+        # Static offset making every in-kernel divmod operand non-negative
+        # (signed floor-div avoided): |psr + base - a| <= (s-1) + wr.
+        div_off = (wr + s - 1) // s + 1
+        # LR offset candidates: q = floor((ps + o)/s), |o| <= wr, ps in [0,s)
+        # -> q in [-ceil(wr/s), ceil(wr/s)]. This Mosaic toolchain rejects
+        # runtime slice starts on the tiled (sublane/lane) axes, so the
+        # kernel picks among the static candidate slices with scalar-
+        # predicate selects; the plane index is a runtime leading-axis index
+        # (both probed: experiments/tpu_dynamic_slice_probe*.py).
+        q_reach = (wr + s - 1) // s
+        q_cands = list(range(-q_reach, q_reach + 1))
 
     # ---- Host-side packing -------------------------------------------------
     hp = _round_up(h, tile_r)
@@ -464,11 +552,17 @@ def pallas_data_term_cost_and_grad(
 
     # ---- Kernel ------------------------------------------------------------
 
-    def kernel_fn(org_ref, xw_ref, yw_ref, mw_ref, *rest):
-        rest = list(rest)
-        cw_ref = rest.pop(0) if use_tv else None
-        cb_ref = rest.pop(0) if use_btv else None
-        grad_ref, cost_ref = rest
+    def kernel_fn(org_ref, *refs):
+        refs = list(refs)
+        ti_ref = refs.pop(0) if dynamic else None  # [K,4] int tap bases
+        tw_ref = refs.pop(0) if dynamic else None  # [K,8] bilinear weights
+        xw_ref, yw_ref, mw_ref = refs.pop(0), refs.pop(0), refs.pop(0)
+        cw_ref = refs.pop(0) if use_tv else None
+        cb_ref = refs.pop(0) if use_btv else None
+        if dynamic:
+            grad_ref, cost_ref, g1_ref = refs
+        else:
+            grad_ref, cost_ref = refs
         t = pl.program_id(0)
         t0r = org_ref[t, 0]
         t0c = org_ref[t, 1]
@@ -487,33 +581,122 @@ def pallas_data_term_cost_and_grad(
         grad_out = [[None for _ in range(s)] for _ in range(s)]
         cost_acc = jnp.zeros((), jnp.float32)
 
+        if dynamic:
+            ncand = len(q_cands)
+
+            def dyn_gather(read_plane, ps_r, ps_c, base_r, base_c, a, b,
+                           lo_r, lo_c, n_r, n_c):
+                """Gather the [c, n_r, n_c] slab at phase plane
+                ((ps+base-a) mod s, (ps+base-b) mod s) and LR offset
+                (lo + floor((ps+base-a)/s), ...): runtime plane index (a
+                leading-axis ref index — cheap address arithmetic) plus
+                ``lax.switch`` over the static LR-offset candidates. The
+                switch lowers to real branches on this Mosaic (probed:
+                switch-of-9 gathers time equal to static slices,
+                experiments/tpu_dynamic_slice_probe2.py J5 vs J1)."""
+                tr = ps_r + base_r - a + div_off * s
+                q_r = tr // s
+                qr = q_r - div_off
+                phr = tr - s * q_r
+                tc = ps_c + base_c - b + div_off * s
+                q_c = tc // s
+                qc = q_c - div_off
+                phc = tc - s * q_c
+                plane = phr * s + phc
+                idx = (qr - q_cands[0]) * ncand + (qc - q_cands[0])
+                branches = [
+                    (lambda cr=cr, cc=cc: read_plane(
+                        plane, lo_r + cr, lo_c + cc, n_r, n_c))
+                    for cr in q_cands for cc in q_cands
+                ]
+                return lax.switch(idx, branches)
+
+            def read_xw(plane, r0, c0, nr, nc):
+                return xw_ref[0, plane, :, r0 : r0 + nr, c0 : c0 + nc]
+
+            def read_g1(plane, r0, c0, nr, nc):
+                return g1_ref[plane, :, r0 : r0 + nr, c0 : c0 + nc]
+
+            def warp_accumulate(read_plane, ps_r, ps_c, base_r, base_c,
+                                w_ref_base, k, lo, n_r, n_c):
+                """The 4-tap runtime bilinear warp at one output phase.
+
+                Tap (0,0)'s weight (1-fy)(1-fx) is strictly positive (the
+                fractional parts live in [0,1)), so it runs unconditionally;
+                the other three taps are guarded by ``lax.cond`` on their
+                runtime weight — integer shifts therefore execute exactly one
+                tap, matching the trace-time specialization of the static
+                kernel at run time instead of compile time."""
+                acc = dyn_gather(
+                    read_plane, ps_r, ps_c, base_r, base_c, 0, 0,
+                    lo, lo, n_r, n_c,
+                ) * tw_ref[k, w_ref_base]
+                for a in range(2):
+                    for b in range(2):
+                        if a == 0 and b == 0:
+                            continue
+                        tw = tw_ref[k, w_ref_base + a * 2 + b]
+
+                        def taken(cur, a=a, b=b, tw=tw):
+                            sl = dyn_gather(
+                                read_plane, ps_r, ps_c, base_r, base_c,
+                                a, b, lo, lo, n_r, n_c,
+                            )
+                            return cur + sl * tw
+
+                        acc = lax.cond(tw != 0.0, taken, lambda cur: cur, acc)
+                return acc
+
         for k in range(k_frames):
             # Stage 1: warp into z1 phase planes (masked to global extent).
             z1 = {}
-            for psr in range(s):
-                for psc in range(s):
-                    acc = None
-                    for dr, dc, tw in warp_taps[k]:
-                        qr, phr = _fdiv(psr + dr, s)
-                        qc, phc = _fdiv(psc + dc, s)
-                        r_lo = z1off + qr
-                        c_lo = z1off + qc
-                        assert 0 <= r_lo and r_lo + n1r <= lrw_r, (r_lo, n1r, lrw_r)
-                        assert 0 <= c_lo and c_lo + n1c <= lrw_c, (c_lo, n1c, lrw_c)
-                        sl = xw_ref[
-                            0, phr * s + phc, :,
-                            r_lo : r_lo + n1r, c_lo : c_lo + n1c,
-                        ]
-                        term = sl * jnp.asarray(tw, dtype)
-                        acc = term if acc is None else acc + term
-                    m = extent_mask(
-                        n1r,
-                        n1c,
-                        t0r - p_ext - s * za + psr,
-                        t0c - p_ext - s * za + psc,
-                        s,
-                    )
-                    z1[(psr, psc)] = acc * m[None]
+            if dynamic:
+                # Runtime taps: plane index is a traced int32 scalar from the
+                # prefetched tap bases; LR offsets resolve via candidate
+                # selects. The margin arithmetic guarantees every candidate
+                # slice is in bounds for |shift| <= shift_bound
+                # (wr = floor(bound)+1, z1off = ceil(wr/s)+1 >= q_reach).
+                fb_r = ti_ref[k, 0]
+                fb_c = ti_ref[k, 1]
+                for psr in range(s):
+                    for psc in range(s):
+                        acc = warp_accumulate(
+                            read_xw, psr, psc, fb_r, fb_c, 0, k,
+                            z1off, n1r, n1c,
+                        )
+                        m = extent_mask(
+                            n1r,
+                            n1c,
+                            t0r - p_ext - s * za + psr,
+                            t0c - p_ext - s * za + psc,
+                            s,
+                        )
+                        z1[(psr, psc)] = acc * m[None]
+            else:
+                for psr in range(s):
+                    for psc in range(s):
+                        acc = None
+                        for dr, dc, tw in warp_taps[k]:
+                            qr, phr = _fdiv(psr + dr, s)
+                            qc, phc = _fdiv(psc + dc, s)
+                            r_lo = z1off + qr
+                            c_lo = z1off + qc
+                            assert 0 <= r_lo and r_lo + n1r <= lrw_r, (r_lo, n1r, lrw_r)
+                            assert 0 <= c_lo and c_lo + n1c <= lrw_c, (c_lo, n1c, lrw_c)
+                            sl = xw_ref[
+                                0, phr * s + phc, :,
+                                r_lo : r_lo + n1r, c_lo : c_lo + n1c,
+                            ]
+                            term = sl * jnp.asarray(tw, dtype)
+                            acc = term if acc is None else acc + term
+                        m = extent_mask(
+                            n1r,
+                            n1c,
+                            t0r - p_ext - s * za + psr,
+                            t0c - p_ext - s * za + psc,
+                            s,
+                        )
+                        z1[(psr, psc)] = acc * m[None]
 
             # Stage 2: blur straight onto the decimated (EXT) grid.
             z = None
@@ -556,7 +739,12 @@ def pallas_data_term_cost_and_grad(
                         else:
                             acc.append((lo_r, lo_c, tw))
                     if acc is None:
-                        g1[(psr, psc)] = None
+                        if dynamic:
+                            # Scratch plane must exist for the runtime-indexed
+                            # reverse warp below; zero it.
+                            g1_ref[psr * s + psc] = jnp.zeros((c, ng1r, ng1c), dtype)
+                        else:
+                            g1[(psr, psc)] = None
                         continue
                     total = None
                     for lo_r, lo_c, tw in acc:
@@ -566,29 +754,45 @@ def pallas_data_term_cost_and_grad(
                     m = extent_mask(
                         ng1r, ng1c, t0r - s * ga + psr, t0c - s * ga + psc, s
                     )
-                    g1[(psr, psc)] = total * m[None]
+                    if dynamic:
+                        g1_ref[psr * s + psc] = total * m[None]
+                    else:
+                        g1[(psr, psc)] = total * m[None]
 
             # Adjoint stage 2: reverse warp into the gradient's phase planes.
-            for phr_out in range(s):
-                for phc_out in range(s):
-                    acc = None
-                    for dr, dc, tw in warp_adj_taps[k]:
-                        qr, psr = _fdiv(phr_out + dr, s)
-                        qc, psc = _fdiv(phc_out + dc, s)
-                        src = g1[(psr, psc)]
-                        if src is None:
+            if dynamic:
+                ab_r = ti_ref[k, 2]
+                ab_c = ti_ref[k, 3]
+                for phr_out in range(s):
+                    for phc_out in range(s):
+                        # In bounds: ga = ceil(wr/s)+1 > q_reach.
+                        acc = warp_accumulate(
+                            read_g1, phr_out, phc_out, ab_r, ab_c, 4, k,
+                            ga, tlr_r, tlr_c,
+                        )
+                        cur = grad_out[phr_out][phc_out]
+                        grad_out[phr_out][phc_out] = acc if cur is None else cur + acc
+            else:
+                for phr_out in range(s):
+                    for phc_out in range(s):
+                        acc = None
+                        for dr, dc, tw in warp_adj_taps[k]:
+                            qr, psr = _fdiv(phr_out + dr, s)
+                            qc, psc = _fdiv(phc_out + dc, s)
+                            src = g1[(psr, psc)]
+                            if src is None:
+                                continue
+                            lo_r = ga + qr
+                            lo_c = ga + qc
+                            assert 0 <= lo_r and lo_r + tlr_r <= ng1r, (lo_r, tlr_r, ng1r)
+                            assert 0 <= lo_c and lo_c + tlr_c <= ng1c, (lo_c, tlr_c, ng1c)
+                            sl = src[:, lo_r : lo_r + tlr_r, lo_c : lo_c + tlr_c]
+                            term = sl * jnp.asarray(tw, dtype)
+                            acc = term if acc is None else acc + term
+                        if acc is None:
                             continue
-                        lo_r = ga + qr
-                        lo_c = ga + qc
-                        assert 0 <= lo_r and lo_r + tlr_r <= ng1r, (lo_r, tlr_r, ng1r)
-                        assert 0 <= lo_c and lo_c + tlr_c <= ng1c, (lo_c, tlr_c, ng1c)
-                        sl = src[:, lo_r : lo_r + tlr_r, lo_c : lo_c + tlr_c]
-                        term = sl * jnp.asarray(tw, dtype)
-                        acc = term if acc is None else acc + term
-                    if acc is None:
-                        continue
-                    cur = grad_out[phr_out][phc_out]
-                    grad_out[phr_out][phc_out] = acc if cur is None else cur + acc
+                        cur = grad_out[phr_out][phc_out]
+                        grad_out[phr_out][phc_out] = acc if cur is None else cur + acc
 
         # ---- Fused anisotropic 2D TV (ops/tv.py semantics) ---------------
         # grad(u,v) = -(gx+gy)(u,v) + gx(u,v-1) + gy(u-1,v) with
@@ -768,11 +972,20 @@ def pallas_data_term_cost_and_grad(
 
     in_specs = [
         pl.BlockSpec((n_tiles, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    inputs = [origins_j]
+    if dynamic:
+        in_specs += [
+            pl.BlockSpec((k_frames, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((k_frames, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        inputs += [tap_int, tap_wgt]
+    in_specs += [
         pl.BlockSpec((1, s * s, c, lrw_r, lrw_c), lambda i: (i, 0, 0, 0, 0)),
         pl.BlockSpec((1, k_frames, c, ext_r, ext_c), lambda i: (i, 0, 0, 0, 0)),
         pl.BlockSpec((1, ext_r, ext_c), lambda i: (i, 0, 0)),
     ]
-    inputs = [origins_j, xw, yw, mw]
+    inputs += [xw, yw, mw]
     if use_tv:
         in_specs.append(
             pl.BlockSpec((1, s * s, c, nxt_r, nxt_c), lambda i: (i, 0, 0, 0, 0))
@@ -797,6 +1010,9 @@ def pallas_data_term_cost_and_grad(
             jax.ShapeDtypeStruct((n_tiles, s * s, c, tlr_r, tlr_c), dtype),
             jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
         ],
+        scratch_shapes=(
+            [pltpu.VMEM((s * s, c, ng1r, ng1c), dtype)] if dynamic else []
+        ),
         interpret=interpret,
     )(*inputs)
 

@@ -12,9 +12,12 @@ Sharding the channel axis of x, the observations, and the IRLS weights
 therefore needs exactly ONE collective per objective evaluation — a scalar
 ``psum`` of the cost over the band axis — while the gradient stays local to
 each shard. The motion shifts are shared by every shard, so the kernel's
-host-known tap tables are identical on all devices (SPMD-safe); frame-axis
-sharding is NOT compatible with the specialized kernel (different shifts
-per device would need different programs) and uses the GSPMD path instead.
+host-known tap tables are identical on all devices (SPMD-safe).
+
+Frame-axis sharding additionally needs per-device shifts under one SPMD
+program — the shift-generic kernel (runtime SMEM tap tables) provides it;
+see :func:`make_frame_sharded_pallas_vg`. The trace-time-specialized kernel
+remains incompatible with frame meshes.
 
 The CG/L-BFGS loop runs outside the shard_map under ``jit``: its dot
 products and axpy updates operate on band-sharded arrays and GSPMD inserts
@@ -37,7 +40,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from super_resolution_tpu.parallel.mesh import BAND_AXIS, FRAME_AXIS
 from super_resolution_tpu.solvers.least_squares import minimize
 
-__all__ = ["make_band_sharded_pallas_vg", "make_band_sharded_pallas_solver"]
+__all__ = [
+    "make_band_sharded_pallas_vg",
+    "make_band_sharded_pallas_solver",
+    "make_frame_sharded_pallas_vg",
+]
 
 
 def _band_size(mesh: Mesh) -> int:
@@ -76,9 +83,10 @@ def make_band_sharded_pallas_vg(
     frame_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(FRAME_AXIS, 1)
     if frame_size != 1:
         raise ValueError(
-            "Frame-axis sharding is incompatible with the specialized Pallas "
-            "kernel (per-device shift tables would differ); use the GSPMD "
-            "path (make_sharded_map_solver) instead."
+            "Frame-axis sharding is incompatible with the shift-specialized "
+            "Pallas kernel (per-device shift tables would differ); use "
+            "make_frame_sharded_pallas_vg (shift-generic kernel) or the "
+            "GSPMD path (make_sharded_map_solver)."
         )
     regs = tuple(regularizers)
     if len(regs) > 1:
@@ -179,6 +187,163 @@ def make_band_sharded_pallas_vg(
                 local, mesh=mesh, in_specs=(x_spec, obs_spec, pspec),
                 out_specs=(P(), x_spec), check_vma=False,
             )(x, observations, packed)
+        return lambda x: value_and_grad(x, weights)
+
+    value_and_grad.prepare = prepare
+    return value_and_grad
+
+
+def make_frame_sharded_pallas_vg(
+    mesh: Mesh,
+    observations: jnp.ndarray,
+    shifts: jnp.ndarray,
+    blur_kernel,
+    scale: int,
+    regularizers: Sequence[tuple[object, float]] = (),
+    shift_bound: float = 0.0,
+    pallas_tile: int = 0,
+    interpret: bool = False,
+):
+    """Frame(-and optionally band-)sharded MAP objective running the
+    **shift-generic** fused Pallas kernel per shard.
+
+    Frame-axis sharding requires every device to run the SAME program while
+    holding different motion shifts — impossible for the trace-time-
+    specialized kernel (its tap tables are compile-time constants), and the
+    reason round 1 fell back to the ~3x-slower GSPMD traced path. With the
+    shift-generic kernel the per-device shifts are *data* (SMEM tap tables),
+    so the SPMD program is identical across the frame axis: each device
+    evaluates its local frames' data term, and GSPMD reduces with one cost
+    psum + one gradient psum over ``frame`` per evaluation (the gradient sum
+    over frames, ``objective_data_term.cpp:104-115``, IS the collective
+    seam). Bands compose orthogonally exactly as in
+    :func:`make_band_sharded_pallas_vg`.
+
+    ``shifts``: ``[K, 2]`` (dx, dy), placed sharded over ``frame``; traced —
+    new shift sets reuse the compiled executable.
+    """
+    from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
+    from super_resolution_tpu.ops.pallas.degrade import (
+        choose_tile,
+        pack_btv_constants,
+        pack_tv_constants,
+        pallas_data_term_cost_and_grad,
+    )
+    from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+
+    if not shift_bound > 0.0:
+        raise ValueError("Frame sharding needs shift_bound > 0 (generic kernel).")
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    frame_size = axis_sizes.get(FRAME_AXIS, 1)
+    band_size = axis_sizes.get(BAND_AXIS, 1)
+    if FRAME_AXIS not in mesh.axis_names:
+        raise ValueError("Mesh must have a 'frame' axis; use the band-only "
+                         "builder otherwise.")
+    regs = tuple(regularizers)
+    if len(regs) > 1:
+        raise ValueError("The fused kernel supports at most one regularizer.")
+    fuse_tv = bool(regs) and isinstance(regs[0][0], TotalVariationRegularizer)
+    fuse_btv = bool(regs) and isinstance(regs[0][0], BilateralTotalVariationRegularizer)
+    if fuse_tv and regs[0][0].use_3d:
+        raise ValueError("3D spectral TV couples bands; not band-shardable.")
+    if regs and not (fuse_tv or fuse_btv):
+        raise ValueError(f"Unsupported regularizer type: {type(regs[0][0])!r}")
+
+    k, c, _, _ = observations.shape
+    if k % frame_size:
+        raise ValueError(f"{k} frames not divisible by frame axis {frame_size}.")
+    if c % band_size:
+        raise ValueError(f"{c} channels not divisible by band axis {band_size}.")
+    k_local = k // frame_size
+    c_local = c // band_size
+    kernel_np = None if blur_kernel is None else np.asarray(blur_kernel)
+    if not (isinstance(pallas_tile, (tuple, list)) or pallas_tile > 0):
+        pallas_tile = choose_tile(
+            c_local, scale, k_local, None, kernel_np,
+            use_tv=fuse_tv, use_btv=fuse_btv,
+            btv_range=regs[0][0].scale_range if fuse_btv else 0,
+            shift_bound=shift_bound,
+        )
+    lam = regs[0][1] if regs else 0.0
+    band = BAND_AXIS if BAND_AXIS in mesh.axis_names else None
+
+    x_spec = P(band, None, None)
+    obs_spec = P(FRAME_AXIS, band, None, None)
+    shifts_spec = P(FRAME_AXIS, None)
+
+    def _kernel(x_local, obs_local, shifts_local, **reg_kwargs):
+        cost, grad = pallas_data_term_cost_and_grad(
+            x_local, obs_local, None, kernel_np, scale,
+            tile=pallas_tile, interpret=interpret,
+            dynamic_shifts=shifts_local, shift_bound=shift_bound,
+            **reg_kwargs,
+        )
+        # Collectives: scalar cost over every sharded axis; the per-frame
+        # gradient partial sums over the frame axis (grad stays band-local).
+        axes = (FRAME_AXIS,) + ((band,) if band else ())
+        return lax.psum(cost, axes), lax.psum(grad, FRAME_AXIS)
+
+    def value_and_grad(x, weights=()):
+        weights = tuple(weights)
+        if fuse_tv:
+            local = lambda xl, ol, sl, wl: _kernel(xl, ol, sl, tv_constants=lam * wl)
+            specs = (x_spec, obs_spec, shifts_spec, x_spec)
+            args = (x, observations, shifts, weights[0])
+        elif fuse_btv:
+            local = lambda xl, ol, sl, wl: _kernel(
+                xl, ol, sl, btv_constants=lam * wl,
+                btv_range=regs[0][0].scale_range,
+                btv_decay=regs[0][0].spatial_decay,
+            )
+            specs = (x_spec, obs_spec, shifts_spec, x_spec)
+            args = (x, observations, shifts, weights[0])
+        else:
+            local = lambda xl, ol, sl: _kernel(xl, ol, sl)
+            specs = (x_spec, obs_spec, shifts_spec)
+            args = (x, observations, shifts)
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=specs, out_specs=(P(), x_spec),
+            check_vma=False,
+        )(*args)
+
+    def prepare(weights):
+        weights = tuple(weights)
+        if fuse_tv:
+            pack = jax.shard_map(
+                lambda wl: pack_tv_constants(lam * wl, scale, pallas_tile),
+                mesh=mesh, in_specs=(x_spec,),
+                out_specs=P(None, None, band, None, None),
+                check_vma=False,
+            )
+            packed = pack(weights[0])
+            local = lambda xl, ol, sl, pk: _kernel(xl, ol, sl, tv_constants_packed=pk)
+            pspec = P(None, None, band, None, None)
+            return lambda x: jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(x_spec, obs_spec, shifts_spec, pspec),
+                out_specs=(P(), x_spec), check_vma=False,
+            )(x, observations, shifts, packed)
+        if fuse_btv:
+            pack = jax.shard_map(
+                lambda wl: pack_btv_constants(
+                    lam * wl, scale, regs[0][0].scale_range, pallas_tile
+                ),
+                mesh=mesh, in_specs=(x_spec,),
+                out_specs=P(None, None, band, None, None),
+                check_vma=False,
+            )
+            packed = pack(weights[0])
+            local = lambda xl, ol, sl, pk: _kernel(
+                xl, ol, sl, btv_constants_packed=pk,
+                btv_range=regs[0][0].scale_range,
+                btv_decay=regs[0][0].spatial_decay,
+            )
+            pspec = P(None, None, band, None, None)
+            return lambda x: jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(x_spec, obs_spec, shifts_spec, pspec),
+                out_specs=(P(), x_spec), check_vma=False,
+            )(x, observations, shifts, packed)
         return lambda x: value_and_grad(x, weights)
 
     value_and_grad.prepare = prepare

@@ -234,11 +234,9 @@ class IRLSMapSolver(MapSolverBase):
             from super_resolution_tpu.ops.tv import TotalVariationRegularizer
 
             axis_sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
-            eligible = (
-                BAND_AXIS in axis_sizes
-                and axis_sizes.get(FRAME_AXIS, 1) == 1
-                and channels_per_split % axis_sizes[BAND_AXIS] == 0
-                and len(regs) <= 1
+            frame_size = axis_sizes.get(FRAME_AXIS, 1)
+            regs_ok = (
+                len(regs) <= 1
                 and all(
                     isinstance(
                         r, (TotalVariationRegularizer, BilateralTotalVariationRegularizer)
@@ -247,7 +245,49 @@ class IRLSMapSolver(MapSolverBase):
                     for r, _ in regs
                 )
             )
-            if eligible:
+            band_divides = channels_per_split % axis_sizes.get(BAND_AXIS, 1) == 0
+            # Frame meshes need the shift-generic kernel (per-device shifts
+            # as data); band-only meshes can keep the specialized kernel.
+            frame_eligible = (
+                frame_size > 1
+                and regs_ok
+                and band_divides
+                and opts.pallas_shift_bound > 0.0
+                and self.observations.shape[0] % frame_size == 0
+            )
+            band_eligible = (
+                frame_size == 1
+                and BAND_AXIS in axis_sizes
+                and regs_ok
+                and band_divides
+            )
+            if frame_eligible:
+                from super_resolution_tpu.parallel.pallas_sharded import (
+                    make_frame_sharded_pallas_vg,
+                )
+
+                mesh = self.mesh
+                bound = opts.pallas_shift_bound
+
+                def inner_frame_sharded(x0, observations, shifts, weights):
+                    vg = make_frame_sharded_pallas_vg(
+                        mesh, observations, shifts, kernel, scale, regs,
+                        shift_bound=bound, pallas_tile=opts.pallas_tile,
+                    )
+                    return minimize(
+                        vg.prepare(weights),
+                        x0,
+                        method=opts.least_squares_solver,
+                        max_iterations=opts.max_num_solver_iterations,
+                        gradient_norm_threshold=opts.gradient_norm_threshold,
+                        cost_decrease_threshold=opts.cost_decrease_threshold,
+                        parameter_variation_threshold=opts.parameter_variation_threshold,
+                        memory=opts.num_lbfgs_hessian_corrections,
+                        log_iterations=self.verbose,
+                    )
+
+                return jax.jit(inner_frame_sharded)
+            if band_eligible:
                 from super_resolution_tpu.parallel.pallas_sharded import (
                     make_band_sharded_pallas_vg,
                 )
@@ -273,6 +313,16 @@ class IRLSMapSolver(MapSolverBase):
 
                 return jax.jit(inner_sharded)
 
+        # Shift-generic mode: shifts stay a traced argument of the jitted
+        # inner solve, so re-solving with new motion (estimated registration,
+        # video sliding windows) reuses ONE compiled executable.
+        pallas_dynamic = (
+            opts.use_pallas_data_term
+            and opts.pallas_shift_bound > 0.0
+            and diff_mode == "analytic"
+            and self.mesh is None
+        )
+
         def inner(x0, observations, shifts, weights):
             vg_full = make_map_value_and_grad(
                 observations, shifts, kernel, scale, regs,
@@ -281,11 +331,13 @@ class IRLSMapSolver(MapSolverBase):
                 if diff_mode == "analytic"
                 and (opts.use_static_shifts or opts.use_pallas_data_term)
                 and self.mesh is None
+                and not pallas_dynamic
                 else None,
                 use_pallas=opts.use_pallas_data_term
                 and diff_mode == "analytic"
                 and self.mesh is None,
                 pallas_tile=opts.pallas_tile,
+                pallas_shift_bound=opts.pallas_shift_bound if pallas_dynamic else 0.0,
             )
             return minimize(
                 vg_full.prepare(weights),

@@ -35,6 +35,14 @@ class MapSolverOptions:
     # (ops/pallas/degrade.py choose_tile). 512 measured fastest for the
     # 1-channel 4x 1000^2 benchmark shape.
     pallas_tile: int | tuple[int, int] = 0  # 0 = VMEM-aware auto; (rows, cols) ok
+    # > 0 selects the shift-generic fused kernel: motion shifts are runtime
+    # data (SMEM tap tables) and ONE compiled executable serves every shift
+    # set with max(|dx|, |dy|) <= bound — use for estimated motion, video
+    # sliding windows, and frame-sharded meshes, where per-shift-set
+    # recompiles (minutes on a remote-compile toolchain) are unacceptable.
+    # 0 keeps the trace-time-specialized kernel (fastest for one fixed,
+    # host-known motion sequence).
+    pallas_shift_bound: float = 0.0
 
     def adjust_thresholds_adaptively(
         self, num_parameters: int, regularization_parameter_sum: float

@@ -131,6 +131,7 @@ def make_map_value_and_grad(
     static_shifts=None,
     use_pallas: bool = False,
     pallas_tile: int = 0,
+    pallas_shift_bound: float = 0.0,
 ) -> Callable:
     """Build ``value_and_grad(x, weights) -> (cost, grad)`` for the MAP objective.
 
@@ -143,14 +144,25 @@ def make_map_value_and_grad(
     - ``"autodiff"`` — ``jax.grad`` of the cost (the *true* gradient; replaces
       the reference's numerical-differentiation validation mode,
       ``map_solver.h:64-69``, with machine-precision derivatives).
+
+    ``use_pallas`` selects the fused Pallas kernel for the data term. With
+    ``static_shifts`` the kernel specializes on the motion at trace time
+    (fastest for one fixed sequence); with ``pallas_shift_bound > 0`` and no
+    static shifts, the **shift-generic** kernel consumes the traced
+    ``shifts`` argument at run time, so one compiled executable serves any
+    motion with ``max(|dx|, |dy|) <= pallas_shift_bound``.
     """
     if diff_mode not in ("analytic", "autodiff"):
         raise ValueError(f"Unknown diff_mode {diff_mode!r}")
 
     regs = tuple(regularizers)
 
-    if use_pallas and static_shifts is None:
-        raise ValueError("use_pallas requires static_shifts.")
+    pallas_dynamic = use_pallas and static_shifts is None
+    if pallas_dynamic and not pallas_shift_bound > 0.0:
+        raise ValueError(
+            "use_pallas requires static_shifts, or pallas_shift_bound > 0 "
+            "for the shift-generic kernel."
+        )
 
     # Fuse a single 2D/3D TV or BTV term into the data-term kernel — one
     # launch for the whole MAP objective evaluation (flags needed up front
@@ -189,6 +201,7 @@ def make_map_value_and_grad(
                 static_shifts, kernel_np,
                 use_tv=fuse_tv, use_btv=fuse_btv,
                 btv_range=regs[0][0].scale_range if fuse_btv else 0,
+                shift_bound=pallas_shift_bound if pallas_dynamic else None,
             )
     else:
         kernel_np = None
@@ -200,6 +213,12 @@ def make_map_value_and_grad(
                 pallas_data_term_cost_and_grad,
             )
 
+            if pallas_dynamic:
+                return pallas_data_term_cost_and_grad(
+                    x, observations, None, kernel_np, scale,
+                    tile=pallas_tile, dynamic_shifts=shifts,
+                    shift_bound=pallas_shift_bound, **fused_reg_kwargs,
+                )
             return pallas_data_term_cost_and_grad(
                 x, observations, static_shifts, kernel_np, scale,
                 tile=pallas_tile, **fused_reg_kwargs,

@@ -323,3 +323,131 @@ def test_rectangular_tiles_match_reference(tile):
     ref_cb = float(cost_d + cost_b)
     assert abs(float(cost_fb) - ref_cb) < 1e-4 * max(1.0, abs(ref_cb))
     assert matrices_equal(np.asarray(grad_fb), np.asarray(grad_d + grad_b), 1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Shift-generic (dynamic) kernel: runtime SMEM tap tables, one executable per
+# (shapes, shift_bound) — motion is data, not a compile-time constant.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shifts,blur,scale,bound",
+    [
+        ([(0, 0), (1, 1), (0, 1), (1, 0)], True, 2, 2.0),
+        ([(0, 0), (-1, 2)], True, 4, 2.0),
+        ([(0, 0), (0.5, -0.5), (1.25, 0.75)], True, 2, 2.0),
+        ([(0, 0), (1, 1)], False, 2, 2.0),
+        ([(0, 0), (-3.5, 3.9)], True, 4, 4.0),  # bound > scale
+    ],
+)
+def test_dynamic_kernel_matches_static(shifts, blur, scale, bound):
+    x, obs, shifts_np, kernel = _problem(shifts, scale=scale, blur=blur)
+    cost_s, grad_s = pallas_data_term_cost_and_grad(
+        x, obs, shifts_np, kernel, scale, tile=16, interpret=True
+    )
+    cost_d, grad_d = pallas_data_term_cost_and_grad(
+        x, obs, None, kernel, scale, tile=16, interpret=True,
+        dynamic_shifts=jnp.asarray(shifts_np, jnp.float32), shift_bound=bound,
+    )
+    assert abs(float(cost_d) - float(cost_s)) < 1e-4 * max(1.0, abs(float(cost_s)))
+    assert matrices_equal(np.asarray(grad_d), np.asarray(grad_s), 1e-5)
+
+
+@pytest.mark.parametrize("reg", ["tv", "tv3d", "btv"])
+def test_dynamic_kernel_fused_regularizers(reg):
+    x, obs, shifts_np, kernel = _problem(
+        [(0, 0), (1.5, -0.5), (0, 1)], scale=2, c=3, hw=(26, 30), seed=99
+    )
+    rng = np.random.default_rng(100)
+    constants = jnp.asarray(rng.random(x.shape), jnp.float32) * 0.05
+    kwargs = dict(tv_constants=constants) if reg == "tv" else (
+        dict(tv_constants=constants, tv_use_3d=True) if reg == "tv3d"
+        else dict(btv_constants=constants, btv_range=2, btv_decay=0.5)
+    )
+    cost_s, grad_s = pallas_data_term_cost_and_grad(
+        x, obs, shifts_np, kernel, 2, tile=16, interpret=True, **kwargs
+    )
+    cost_d, grad_d = pallas_data_term_cost_and_grad(
+        x, obs, None, kernel, 2, tile=16, interpret=True,
+        dynamic_shifts=jnp.asarray(shifts_np, jnp.float32), shift_bound=2.0,
+        **kwargs,
+    )
+    assert abs(float(cost_d) - float(cost_s)) < 1e-4 * max(1.0, abs(float(cost_s)))
+    assert matrices_equal(np.asarray(grad_d), np.asarray(grad_s), 1e-5)
+
+
+def test_dynamic_kernel_one_executable_many_shift_sets():
+    """THE point of the shift-generic kernel: two different shift sets (one
+    integer, one fractional) run through ONE jitted executable — no retrace,
+    no recompile — and both match the shift-specialized kernel."""
+    import jax
+
+    x, obs, shifts_a, kernel = _problem(
+        [(0, 0), (1, 1), (0, 1), (1, 0)], scale=2, hw=(32, 32), seed=101
+    )
+    shifts_b = np.asarray([(0.3, -0.7), (1.1, 1.6), (-0.4, 1.2), (1.9, -0.2)])
+
+    @jax.jit
+    def dyn(x, obs, shifts):
+        return pallas_data_term_cost_and_grad(
+            x, obs, None, kernel, 2, tile=16, interpret=True,
+            dynamic_shifts=shifts, shift_bound=2.0,
+        )
+
+    for shifts_np in (shifts_a, shifts_b):
+        cost_s, grad_s = pallas_data_term_cost_and_grad(
+            x, obs, shifts_np, kernel, 2, tile=16, interpret=True
+        )
+        cost_d, grad_d = dyn(x, obs, jnp.asarray(shifts_np, jnp.float32))
+        assert abs(float(cost_d) - float(cost_s)) < 1e-4 * max(
+            1.0, abs(float(cost_s))
+        )
+        assert matrices_equal(np.asarray(grad_d), np.asarray(grad_s), 1e-5)
+    assert dyn._cache_size() == 1, "expected ONE compiled executable"
+
+
+def test_dynamic_kernel_requires_bound():
+    x, obs, shifts_np, kernel = _problem([(0, 0), (1, 1)], scale=2)
+    with pytest.raises(ValueError, match="shift_bound"):
+        pallas_data_term_cost_and_grad(
+            x, obs, None, kernel, 2, tile=16, interpret=True,
+            dynamic_shifts=jnp.asarray(shifts_np, jnp.float32),
+        )
+
+
+def test_make_map_value_and_grad_dynamic_pallas():
+    """pallas_shift_bound routes the objective through the shift-generic
+    kernel (traced shifts) and matches the unfused analytic path."""
+    from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+    from super_resolution_tpu.solvers.objective import make_map_value_and_grad
+
+    x, obs, shifts_np, kernel = _problem(
+        [(0, 0), (1.5, 0.25), (0, 1), (1, 0)], scale=2, hw=(32, 32), seed=103
+    )
+    tv = TotalVariationRegularizer()
+    shifts = jnp.asarray(shifts_np, jnp.float32)
+    weights = (jnp.asarray(np.random.default_rng(104).random(x.shape), jnp.float32),)
+    vg_ref = make_map_value_and_grad(
+        obs, shifts, jnp.asarray(kernel), 2, [(tv, 0.01)], static_shifts=shifts_np
+    )
+    vg_dyn = make_map_value_and_grad(
+        obs, shifts, jnp.asarray(kernel), 2, [(tv, 0.01)],
+        use_pallas=True, pallas_shift_bound=2.0,
+    )
+    c_ref, g_ref = vg_ref(x, weights)
+    c_d, g_d = vg_dyn(x, weights)
+    assert abs(float(c_d) - float(c_ref)) < 1e-4 * max(1.0, abs(float(c_ref)))
+    assert matrices_equal(np.asarray(g_d), np.asarray(g_ref), 1e-5)
+    c_q, g_q = vg_dyn.prepare(weights)(x)
+    assert abs(float(c_q) - float(c_d)) < 1e-6 * max(1.0, abs(float(c_d)))
+    assert matrices_equal(np.asarray(g_q), np.asarray(g_d), 1e-6)
+
+
+def test_shift_bound_bucket():
+    from super_resolution_tpu.ops.pallas.degrade import shift_bound_bucket
+
+    assert shift_bound_bucket(0.5) == 2
+    assert shift_bound_bucket(2.0) == 2
+    assert shift_bound_bucket(2.1) == 4
+    assert shift_bound_bucket(7.9) == 8
