@@ -264,7 +264,12 @@ def make_frame_sharded_pallas_vg(
             btv_range=regs[0][0].scale_range if fuse_btv else 0,
             shift_bound=shift_bound,
         )
-    lam = regs[0][1] if regs else 0.0
+    # x (and the IRLS weights) are REPLICATED across the frame axis, so each
+    # frame shard computes the full fused regularizer term; both its cost and
+    # its gradient are linear in the packed constants, and both get psum'd
+    # over `frame` — dividing lambda by frame_size makes the reduction sum
+    # back to exactly one copy.
+    lam = (regs[0][1] / frame_size) if regs else 0.0
     band = BAND_AXIS if BAND_AXIS in mesh.axis_names else None
 
     x_spec = P(band, None, None)

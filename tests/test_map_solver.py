@@ -223,3 +223,33 @@ def test_autodiff_mode_solves_small_data():
     solver = IRLSMapSolver(opts, model, low_res_images)
     result = solver.solve(np.zeros((1, 4, 4)))
     assert matrices_equal(np.asarray(result)[0], ground_truth, SOLVER_TOL)
+
+
+def test_real_big_image_exact_recovery(test_data_dir):
+    """``RealBigImageTest`` (``test_map_solver.cpp:312-364``): 840x840 RGB
+    goat, 4 frames at the four half-pixel phases, 2x, NO blur — exact
+    inverse-crime recovery of all 2.1M parameters within 0.001, 1px border
+    cropped, per channel. The one large-scale correctness point in the
+    reference's test matrix."""
+    image = cv2.imread(f"{test_data_dir}/goat.jpg", cv2.IMREAD_COLOR)
+    assert image is not None
+    resized = cv2.resize(image, (840, 840), interpolation=cv2.INTER_LINEAR)
+    ground_truth = np.moveaxis(resized.astype(np.float64) / 255.0, -1, 0)
+
+    seq = MotionShiftSequence(
+        [MotionShift(0, 0), MotionShift(1, 0), MotionShift(0, 1), MotionShift(1, 1)]
+    )
+    model = ImageModel.create(ImageModelParameters(scale=2, motion_sequence=seq))
+    low_res_images = [model.apply(jnp.asarray(ground_truth), k) for k in range(4)]
+
+    initial_estimate = linear_resize(
+        jnp.asarray(low_res_images[0]), (840, 840)
+    )
+    solver = IRLSMapSolver(IRLSMapSolverOptions(), model, low_res_images)
+    result = np.asarray(solver.solve(initial_estimate))
+
+    assert result.shape == ground_truth.shape
+    for channel in range(3):
+        assert matrices_equal_cropped_border(
+            result[channel], ground_truth[channel], 1, SOLVER_TOL
+        )

@@ -157,3 +157,96 @@ def test_irls_solver_band_mesh_uses_pallas_path():
     p_sharded = float(psnr(results["band-sharded"], np.asarray(gt)))
     assert abs(p_single - p_sharded) < 0.2, (p_single, p_sharded)
     assert p_sharded > 12.0  # random-texture gt; parity above is the real check
+
+
+@pytest.mark.parametrize(
+    "mesh_axes,reg_kind",
+    [
+        ({FRAME_AXIS: 4}, "tv"),
+        ({FRAME_AXIS: 4}, "btv"),
+        ({FRAME_AXIS: 4}, "none"),
+        ({FRAME_AXIS: 2, BAND_AXIS: 4}, "tv"),
+    ],
+)
+def test_frame_sharded_vg_matches_single_device(mesh_axes, reg_kind):
+    """Frame(xband)-sharded shift-generic fused objective == the single-device
+    fused path — per-device shifts are runtime data under one SPMD program,
+    with a cost psum and a gradient psum over the frame axis."""
+    from super_resolution_tpu.parallel import make_frame_sharded_pallas_vg
+
+    x, obs, shifts_np, kernel = _problem()
+    # Fractional shifts exercise all four runtime taps per device.
+    shifts_np = np.asarray([(0, 0), (1.25, 0.5), (0.5, 1.0), (1.0, 0.75)])
+    rng = np.random.default_rng(72)
+    obs = jnp.stack(
+        [
+            jnp.asarray(rng.random((x.shape[0], *[d // 2 for d in x.shape[1:]])),
+                        jnp.float32)
+            for _ in range(4)
+        ]
+    )
+    n_dev = int(np.prod(list(mesh_axes.values())))
+    mesh = make_mesh(mesh_axes, jax.devices()[:n_dev])
+    if reg_kind == "tv":
+        regs = [(TotalVariationRegularizer(), 0.01)]
+    elif reg_kind == "btv":
+        regs = [(BilateralTotalVariationRegularizer(2, 0.5), 0.01)]
+    else:
+        regs = []
+    weights = (
+        (jnp.asarray(np.random.default_rng(73).random(x.shape), jnp.float32),)
+        if regs
+        else ()
+    )
+
+    vg_ref = make_map_value_and_grad(
+        obs, jnp.asarray(shifts_np, jnp.float32), jnp.asarray(kernel), 2,
+        regs, static_shifts=shifts_np, use_pallas=True, pallas_tile=16,
+    )
+    c_ref, g_ref = vg_ref(x, weights)
+
+    vg_sh = make_frame_sharded_pallas_vg(
+        mesh, obs, jnp.asarray(shifts_np, jnp.float32), kernel, 2, regs,
+        shift_bound=2.0, pallas_tile=16, interpret=True,
+    )
+    c_s, g_s = vg_sh(x, weights)
+    assert abs(float(c_s) - float(c_ref)) < 1e-4 * max(1.0, abs(float(c_ref)))
+    assert matrices_equal(np.asarray(g_s), np.asarray(g_ref), 1e-4)
+    # prepare() (packed constants) matches too.
+    c_p, g_p = vg_sh.prepare(weights)(x)
+    assert abs(float(c_p) - float(c_s)) < 1e-5 * max(1.0, abs(float(c_s)))
+    assert matrices_equal(np.asarray(g_p), np.asarray(g_s), 1e-5)
+
+
+def test_irls_solver_routes_frame_mesh_through_fused_kernel():
+    """IRLSMapSolver(mesh with frame axis, pallas_shift_bound>0) matches the
+    single-device solve."""
+    from super_resolution_tpu.image.image_data import ImageData
+    from super_resolution_tpu.models import ImageModel, ImageModelParameters
+    from super_resolution_tpu.solvers import IRLSMapSolver
+    from super_resolution_tpu.solvers.map_solver import IRLSMapSolverOptions
+
+    rng = np.random.default_rng(74)
+    gt = jnp.asarray(rng.random((2, 24, 24)), jnp.float32)
+    seq = MotionShiftSequence([(0, 0), (1.5, 0.5), (0.25, 1.0), (1.0, 0.75)])
+    model = ImageModel.create(
+        ImageModelParameters(scale=2, blur_radius=1, blur_sigma=0.5,
+                             motion_sequence=seq)
+    )
+    obs = [model.apply(gt, k) for k in range(4)]
+    x0 = jnp.zeros_like(gt)
+    tv = TotalVariationRegularizer()
+
+    def solve(mesh, **extra):
+        opts = IRLSMapSolverOptions(
+            max_num_irls_iterations=2, max_num_solver_iterations=10,
+            use_pallas_data_term=True, pallas_tile=16, **extra,
+        )
+        solver = IRLSMapSolver(opts, model, obs, mesh=mesh)
+        solver.add_regularizer(tv, 0.005)
+        return np.asarray(solver.solve(x0))
+
+    ref = solve(None, pallas_shift_bound=2.0)
+    mesh = make_mesh({FRAME_AXIS: 4}, jax.devices()[:4])
+    sharded = solve(mesh, pallas_shift_bound=2.0)
+    assert matrices_equal(sharded, ref, 1e-4)
