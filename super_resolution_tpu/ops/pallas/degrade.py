@@ -584,21 +584,20 @@ def pallas_data_term_cost_and_grad(
         if dynamic:
             ncand = len(q_cands)
 
-            def dyn_gather(read_plane, ps_r, ps_c, base_r, base_c, a, b,
+            def dyn_gather(read_plane, vp_r, vp_c, base_r, base_c,
                            lo_r, lo_c, n_r, n_c):
                 """Gather the [c, n_r, n_c] slab at phase plane
-                ((ps+base-a) mod s, (ps+base-b) mod s) and LR offset
-                (lo + floor((ps+base-a)/s), ...): runtime plane index (a
-                leading-axis ref index — cheap address arithmetic) plus
-                ``lax.switch`` over the static LR-offset candidates. The
-                switch lowers to real branches on this Mosaic (probed:
-                switch-of-9 gathers time equal to static slices,
-                experiments/tpu_dynamic_slice_probe2.py J5 vs J1)."""
-                tr = ps_r + base_r - a + div_off * s
+                ((vp+base) mod s, ...) and LR offset (lo + floor((vp+base)/s),
+                ...): runtime plane index (a leading-axis ref index — cheap
+                address arithmetic) plus ``lax.switch`` over the static
+                LR-offset candidates. The switch lowers to real branches on
+                this Mosaic (probed: switch-of-9 gathers time equal to static
+                slices, experiments/tpu_dynamic_slice_probe2.py J5 vs J1)."""
+                tr = vp_r + base_r + div_off * s
                 q_r = tr // s
                 qr = q_r - div_off
                 phr = tr - s * q_r
-                tc = ps_c + base_c - b + div_off * s
+                tc = vp_c + base_c + div_off * s
                 q_c = tc // s
                 qc = q_c - div_off
                 phc = tc - s * q_c
@@ -617,34 +616,41 @@ def pallas_data_term_cost_and_grad(
             def read_g1(plane, r0, c0, nr, nc):
                 return g1_ref[plane, :, r0 : r0 + nr, c0 : c0 + nc]
 
-            def warp_accumulate(read_plane, ps_r, ps_c, base_r, base_c,
-                                w_ref_base, k, lo, n_r, n_c):
-                """The 4-tap runtime bilinear warp at one output phase.
+            def make_base_planes(read_plane, base_r, base_c, lo, n_r, n_c):
+                """Memoized virtual-phase plane gathers.
 
-                Tap (0,0)'s weight (1-fy)(1-fx) is strictly positive (the
-                fractional parts live in [0,1)), so it runs unconditionally;
-                the other three taps are guarded by ``lax.cond`` on their
-                runtime weight — integer shifts therefore execute exactly one
-                tap, matching the trace-time specialization of the static
-                kernel at run time instead of compile time."""
-                acc = dyn_gather(
-                    read_plane, ps_r, ps_c, base_r, base_c, 0, 0,
-                    lo, lo, n_r, n_c,
-                ) * tw_ref[k, w_ref_base]
+                The four bilinear taps at output phase (psr, psc) read the
+                planes at HR offsets (psr - a + base, psc - b + base),
+                a, b in {0, 1} — over ALL s^2 phases that is just the
+                (s+1)^2 virtual phases [-1, s) x [-1, s). Gathering each
+                ONCE and indexing the gathered values statically per tap
+                cuts the runtime switch-gathers per frame stage from 4 s^2
+                to (s+1)^2 (64 -> 25 at s=4; measured the difference between
+                1.4x and 2x of the specialized kernel). Laziness keeps the
+                live set bounded: phases are emitted in row-major order, so
+                row i's planes retire once phase row i+1 completes."""
+                cache = {}
+
+                def get(i, j):
+                    if (i, j) not in cache:
+                        cache[(i, j)] = dyn_gather(
+                            read_plane, i, j, base_r, base_c, lo, lo, n_r, n_c
+                        )
+                    return cache[(i, j)]
+
+                return get
+
+            def warp_accumulate(base_planes, ps_r, ps_c, w_ref_base, k):
+                """4-tap runtime bilinear warp at one output phase: static
+                reads of the memoized virtual-phase planes, runtime SMEM
+                weights."""
+                acc = None
                 for a in range(2):
                     for b in range(2):
-                        if a == 0 and b == 0:
-                            continue
-                        tw = tw_ref[k, w_ref_base + a * 2 + b]
-
-                        def taken(cur, a=a, b=b, tw=tw):
-                            sl = dyn_gather(
-                                read_plane, ps_r, ps_c, base_r, base_c,
-                                a, b, lo, lo, n_r, n_c,
-                            )
-                            return cur + sl * tw
-
-                        acc = lax.cond(tw != 0.0, taken, lambda cur: cur, acc)
+                        term = base_planes(ps_r - a, ps_c - b) * tw_ref[
+                            k, w_ref_base + a * 2 + b
+                        ]
+                        acc = term if acc is None else acc + term
                 return acc
 
         for k in range(k_frames):
@@ -658,12 +664,10 @@ def pallas_data_term_cost_and_grad(
                 # (wr = floor(bound)+1, z1off = ceil(wr/s)+1 >= q_reach).
                 fb_r = ti_ref[k, 0]
                 fb_c = ti_ref[k, 1]
+                xw_planes = make_base_planes(read_xw, fb_r, fb_c, z1off, n1r, n1c)
                 for psr in range(s):
                     for psc in range(s):
-                        acc = warp_accumulate(
-                            read_xw, psr, psc, fb_r, fb_c, 0, k,
-                            z1off, n1r, n1c,
-                        )
+                        acc = warp_accumulate(xw_planes, psr, psc, 0, k)
                         m = extent_mask(
                             n1r,
                             n1c,
@@ -763,13 +767,11 @@ def pallas_data_term_cost_and_grad(
             if dynamic:
                 ab_r = ti_ref[k, 2]
                 ab_c = ti_ref[k, 3]
+                # In bounds: ga = ceil(wr/s)+1 > q_reach.
+                g1_planes = make_base_planes(read_g1, ab_r, ab_c, ga, tlr_r, tlr_c)
                 for phr_out in range(s):
                     for phc_out in range(s):
-                        # In bounds: ga = ceil(wr/s)+1 > q_reach.
-                        acc = warp_accumulate(
-                            read_g1, phr_out, phc_out, ab_r, ab_c, 4, k,
-                            ga, tlr_r, tlr_c,
-                        )
+                        acc = warp_accumulate(g1_planes, phr_out, phc_out, 4, k)
                         cur = grad_out[phr_out][phc_out]
                         grad_out[phr_out][phc_out] = acc if cur is None else cur + acc
             else:

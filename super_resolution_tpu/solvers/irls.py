@@ -60,8 +60,14 @@ def irls_solve_fused(
     max_irls = options.max_num_irls_iterations or 10_000
 
     def inner(x, weights):
+        # Bind the weights ONCE per inner solve: the builder may pack
+        # weight-derived constants (e.g. the fused kernel's TV windows),
+        # and emitting that packing inside the CG while_loop body would
+        # re-run it per objective evaluation (XLA does not hoist it —
+        # measured at ~40% of solve time on TPU).
+        prepared = value_and_grad_builder(weights)
         return minimize(
-            lambda z: value_and_grad_builder(weights)(z),
+            prepared,
             x,
             method=options.least_squares_solver,
             max_iterations=options.max_num_solver_iterations,
@@ -183,8 +189,18 @@ class IRLSMapSolver(MapSolverBase):
             num_data_points, self.regularization_parameter_sum
         )
 
+        if opts.fused_irls and checkpoint_path:
+            raise ValueError(
+                "fused_irls runs the whole IRLS loop on-device with no "
+                "checkpoint seam; use the host-loop default for "
+                "checkpoint/resume."
+            )
+
         results = []
-        inner = self._build_inner_solver(channels_per_split, opts)
+        if opts.fused_irls:
+            inner = self._build_fused_solver(opts)
+        else:
+            inner = self._build_inner_solver(channels_per_split, opts)
         for i in range(num_rounds):
             ch0 = i * channels_per_split
             ch1 = ch0 + channels_per_split
@@ -195,7 +211,12 @@ class IRLSMapSolver(MapSolverBase):
                 if checkpoint_path and num_rounds > 1
                 else (f"{checkpoint_path}.npz" if checkpoint_path else None)
             )
-            x = self._run_irls_loop(inner, x0, obs, opts, ckpt, resume)
+            if opts.fused_irls:
+                x, cost = inner(x0, obs, self.shifts)
+                if self.verbose:
+                    print(f"Fused IRLS round {i} done; final loss {float(cost)}.")
+            else:
+                x = self._run_irls_loop(inner, x0, obs, opts, ckpt, resume)
             results.append(x)
         out = jnp.concatenate(results, axis=0)
         if isinstance(initial_estimate, ImageData):
@@ -207,6 +228,42 @@ class IRLSMapSolver(MapSolverBase):
         return out
 
     # ------------------------------------------------------------------ internals
+
+    def _build_fused_solver(self, opts):
+        """All-in-graph IRLS (``irls_solve_fused``): one jitted computation
+        per channel round, zero host round-trips. Routed by
+        ``IRLSMapSolverOptions.fused_irls``."""
+        if self.mesh is not None:
+            raise ValueError(
+                "fused_irls + mesh is not wired; use the host-loop solver "
+                "for sharded solves."
+            )
+        regs = tuple(self.regularizers)
+        kernel = self.blur_kernel
+        scale = self.scale
+        static_shifts = np.asarray(self.shifts)
+        pallas_dynamic = (
+            opts.use_pallas_data_term
+            and opts.pallas_shift_bound > 0.0
+            and opts.diff_mode == "analytic"
+        )
+
+        def fused(x0, observations, shifts):
+            vg = make_map_value_and_grad(
+                observations, shifts, kernel, scale, regs,
+                max_shift=self.max_shift, diff_mode=opts.diff_mode,
+                static_shifts=None if (
+                    pallas_dynamic or opts.diff_mode != "analytic"
+                    or not (opts.use_static_shifts or opts.use_pallas_data_term)
+                ) else static_shifts,
+                use_pallas=opts.use_pallas_data_term
+                and opts.diff_mode == "analytic",
+                pallas_tile=opts.pallas_tile,
+                pallas_shift_bound=opts.pallas_shift_bound if pallas_dynamic else 0.0,
+            )
+            return irls_solve_fused(vg.prepare, regs, x0, opts)
+
+        return jax.jit(fused)
 
     def _build_inner_solver(self, channels_per_split: int, opts):
         regs = tuple(self.regularizers)

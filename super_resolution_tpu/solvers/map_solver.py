@@ -43,6 +43,12 @@ class MapSolverOptions:
     # 0 keeps the trace-time-specialized kernel (fastest for one fixed,
     # host-known motion sequence).
     pallas_shift_bound: float = 0.0
+    # Run the ENTIRE IRLS loop in one jitted graph (irls_solve_fused): the
+    # outer reweighting becomes a lax.while_loop around the inner CG/L-BFGS
+    # while_loop — zero host round-trips per IRLS iteration. The host-loop
+    # default keeps per-iteration logging and checkpoint/resume (the fused
+    # path supports neither).
+    fused_irls: bool = False
 
     def adjust_thresholds_adaptively(
         self, num_parameters: int, regularization_parameter_sum: float

@@ -69,3 +69,51 @@ def test_fused_irls_no_regularizers():
 
     x, cost = irls_solve_fused(builder, [], jnp.zeros_like(hr), IRLSMapSolverOptions())
     assert matrices_equal(np.asarray(x), np.asarray(hr), 0.001)
+
+
+def test_fused_irls_solver_toggle():
+    """IRLSMapSolverOptions.fused_irls routes IRLSMapSolver.solve through the
+    all-in-graph IRLS and matches the host-loop result; checkpointing is
+    rejected (no seam in a single XLA program)."""
+    import pytest
+
+    rng = np.random.default_rng(93)
+    hr = jnp.asarray(rng.random((1, 12, 12)))
+    seq = MotionShiftSequence(
+        [MotionShift(0, 0), MotionShift(1, 1), MotionShift(-1, 0), MotionShift(0, -1)]
+    )
+    model = ImageModel.create(
+        ImageModelParameters(scale=2, blur_radius=3, blur_sigma=1.0, motion_sequence=seq)
+    )
+    obs = [model.apply(hr, k) for k in range(4)]
+    tv = TotalVariationRegularizer()
+
+    def run(**extra):
+        opts = IRLSMapSolverOptions(**extra)
+        solver = IRLSMapSolver(opts, model, obs)
+        solver.add_regularizer(tv, 0.01)
+        return solver, np.asarray(solver.solve(jnp.zeros_like(hr)))
+
+    _, host = run()
+    _, fused = run(fused_irls=True)
+    assert matrices_equal(fused, host, 1e-8)
+
+    # Pallas path under the fused loop == the host loop on the SAME
+    # objective path (different objective paths diverge in trajectory at
+    # this problem's convergence threshold, which is expected).
+    _, host_pallas = run(use_pallas_data_term=True, pallas_tile=8)
+    _, fused_pallas = run(fused_irls=True, use_pallas_data_term=True, pallas_tile=8)
+    assert matrices_equal(fused_pallas, host_pallas, 1e-8)
+    # Shift-generic kernel under the fused loop == its own host loop (the
+    # per-eval kernels agree to machine precision, but a full IRLS trajectory
+    # amplifies last-bit differences through the signum TV gradients, so
+    # cross-path comparisons are only convergence-point-close).
+    _, host_dyn = run(use_pallas_data_term=True, pallas_tile=8,
+                      pallas_shift_bound=2.0)
+    _, fused_dyn = run(fused_irls=True, use_pallas_data_term=True,
+                       pallas_tile=8, pallas_shift_bound=2.0)
+    assert matrices_equal(fused_dyn, host_dyn, 1e-8)
+
+    solver, _ = run(fused_irls=True)
+    with pytest.raises(ValueError, match="checkpoint"):
+        solver.solve(jnp.zeros_like(hr), checkpoint_path="/tmp/nope")
