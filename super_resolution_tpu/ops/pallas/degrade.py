@@ -50,6 +50,8 @@ __all__ = [
     "pack_btv_constants",
     "composite_taps",
     "choose_tile",
+    "choose_channel_block",
+    "shift_bound_bucket",
 ]
 
 
@@ -230,9 +232,14 @@ def _geometry(warp_taps, warp_adj_taps, kernel, s: int, tile,
 
 
 def _estimate_vmem(g, s: int, c: int, k: int, use_tv: bool, use_btv: bool) -> int:
-    """Estimated live VMEM (bytes) for one grid step of the fused kernel."""
+    """Estimated live VMEM (bytes) for one grid step of the fused kernel.
+
+    Areas are padded to the f32 (8, 128) sublane/lane register tiling —
+    Mosaic stores a 142-wide plane as 256 lanes, which is where a naive
+    rows*cols model underestimated by ~2x (measured 18.94 MB scoped vs an
+    8.6 MB unpadded estimate for s=2, cb=2, K=4, tile=(256,256) with TV)."""
     s2 = s * s
-    area = lambda key: g[key][0] * g[key][1]
+    area = lambda key: _round_up(g[key][0], 8) * _round_up(g[key][1], 128)
     inputs = (
         s2 * c * area("lrw")
         + k * c * area("ext_lr")
@@ -282,6 +289,7 @@ def choose_tile(
     requested: int | None = None,
     vmem_budget_bytes: int = 9 * 2**20,
     shift_bound: float | None = None,
+    image_hw: tuple[int, int] | None = None,
 ):
     """Pick a kernel tile whose estimated live VMEM fits the ~16 MB scoped
     limit with headroom.
@@ -296,9 +304,12 @@ def choose_tile(
     The VMEM estimate mirrors the kernel's actual buffers: pipelined
     input/output blocks (counted twice for double buffering) plus the
     per-frame intermediates (z1/g1 phase planes, residual, gradient
-    accumulator, regularizer planes). Calibrated against a measured Mosaic
-    scoped allocation (38.45 MB for s=2, c=6, K=4, tile=256 vs a 23.4 MB
-    estimate — hence the conservative default budget).
+    accumulator, regularizer planes), with every plane padded to the
+    (8, 128) register tiling. Calibration points (measured Mosaic scoped
+    allocations): 38.45 MB vs 43.2 estimated (s=2, c=6, K=4, tile=256);
+    18.94 MB vs 14.6 estimated (s=2, cb=2, K=4, tile=(256,256)) — the
+    remaining ~30% worst-case slack is what the 9 MB default budget
+    absorbs against the 16 MB scoped limit.
     """
     s = int(scale)
     c = int(num_channels)
@@ -319,6 +330,21 @@ def choose_tile(
             (256, 256), (128, 256), (128, 128), (64, 128), (64, 64),
             (32, 64), (32, 32), (16, 32), (16, 16), (8, 16), (8, 8),
         ]
+        if image_hw is not None:
+            # A tile larger than the (s-padded) image only adds padding work;
+            # clip candidates to the image extent, keeping ladder order. The
+            # caps stay lane/sublane-aligned (cols: 128-wide vector lanes,
+            # rows: 8 sublanes x scale) so clipping never produces odd tile
+            # extents that Mosaic would pad internally anyway.
+            cap_r = _round_up(image_hw[0], 8 * s)
+            cap_c = _round_up(image_hw[1], max(128, s))
+            clipped, seen = [], set()
+            for tr_, tc_ in ladder:
+                cand = (min(tr_, cap_r), min(tc_, cap_c))
+                if cand not in seen:
+                    seen.add(cand)
+                    clipped.append(cand)
+            ladder = clipped
         for cand in ladder:
             g = _geometry(wt, wat, kernel, s, cand, use_btv, btv_range,
                           wr_override=wr_override)
@@ -334,6 +360,46 @@ def choose_tile(
             return g["tile"][0]
         tile = _round_up(max(tile // 2, min_tile), s)
     return min_tile
+
+
+def choose_channel_block(
+    num_channels: int,
+    scale: int,
+    num_frames: int,
+    static_shifts,
+    kernel,
+    use_tv: bool = False,
+    use_btv: bool = False,
+    btv_range: int = 0,
+    shift_bound: float | None = None,
+    vmem_budget_bytes: int = 9 * 2**20,
+    image_hw: tuple[int, int] | None = None,
+) -> tuple[int, tuple[int, int]]:
+    """Pick ``(channel_block, tile)`` for a multi-band image: the largest
+    divisor of ``num_channels`` whose VMEM footprint keeps the spatial tile
+    at the 1-band choice.
+
+    Without channel blocking, ``choose_tile`` shrinks the spatial tile as
+    the band count grows (all C bands ride in every grid step), so 64-band
+    hyperspectral solves ran at small, lane-wasting tiles. With a channel
+    grid dimension the tile stays at the 1-band optimum and the grid gains
+    a ``C / channel_block`` axis instead."""
+
+    def tile_for(cb):
+        return choose_tile(
+            cb, scale, num_frames, static_shifts, kernel, use_tv=use_tv,
+            use_btv=use_btv, btv_range=btv_range,
+            vmem_budget_bytes=vmem_budget_bytes, shift_bound=shift_bound,
+            image_hw=image_hw,
+        )
+
+    target = tile_for(1)
+    for block in range(num_channels, 0, -1):
+        if num_channels % block:
+            continue
+        if tile_for(block) == target:
+            return block, target
+    return 1, target
 
 
 def pallas_data_term_cost_and_grad(
@@ -353,6 +419,7 @@ def pallas_data_term_cost_and_grad(
     btv_decay: float = 1.0,
     dynamic_shifts: jnp.ndarray | None = None,
     shift_bound: float | None = None,
+    channel_block: int = 0,
 ):
     """Fused data term: ``(cost, grad)`` of ``s^2 sum_k ||D B M_k x - y_k||^2``.
 
@@ -396,6 +463,19 @@ def pallas_data_term_cost_and_grad(
     k_frames = observations.shape[0]
     s = int(scale)
     dtype = x.dtype
+    # Channel (band-block) grid dimension: hyperspectral stacks keep LARGE
+    # spatial tiles by processing `cb` bands per grid step instead of
+    # shrinking the tile until all C bands fit in VMEM (the data term and
+    # 2D TV/BTV are band-separable; 3D spectral TV couples bands and
+    # requires the full stack per step). Mirrors the reference's per-channel
+    # solving seam (irls_map_solver.cpp:200-229) at kernel-grid granularity.
+    cb = c if channel_block in (0, None) else int(channel_block)
+    if c % cb:
+        raise ValueError(f"channel_block {cb} does not divide {c} channels.")
+    if tv_use_3d and cb != c:
+        raise ValueError("3D spectral TV couples bands; channel_block must "
+                         "cover all channels (or be 0).")
+    n_cb = c // cb
     dynamic = dynamic_shifts is not None
     if dynamic:
         if shift_bound is None:
@@ -522,15 +602,15 @@ def pallas_data_term_cost_and_grad(
     if use_btv:
         nb_r, nb_c = geom["nb"]
         if btv_constants_packed is not None:
-            cb = btv_constants_packed
-            if cb.shape != (n_tiles, s * s, c, nb_r, nb_c):
+            cbw = btv_constants_packed
+            if cbw.shape != (n_tiles, s * s, c, nb_r, nb_c):
                 raise ValueError(
-                    f"btv_constants_packed shape {cb.shape} != expected "
+                    f"btv_constants_packed shape {cbw.shape} != expected "
                     f"{(n_tiles, s * s, c, nb_r, nb_c)}; pack with the same "
                     "tile size and scale_range."
                 )
         else:
-            cb = pack_btv_constants(btv_constants, s, btv_range, (tile_r, tile_c))
+            cbw = pack_btv_constants(btv_constants, s, btv_range, (tile_r, tile_c))
 
     # Overlapping windows, extracted with static slices (T is static).
     xw, yw, mw = [], [], []
@@ -746,7 +826,7 @@ def pallas_data_term_cost_and_grad(
                         if dynamic:
                             # Scratch plane must exist for the runtime-indexed
                             # reverse warp below; zero it.
-                            g1_ref[psr * s + psc] = jnp.zeros((c, ng1r, ng1c), dtype)
+                            g1_ref[psr * s + psc] = jnp.zeros((cb, ng1r, ng1c), dtype)
                         else:
                             g1[(psr, psc)] = None
                         continue
@@ -822,8 +902,8 @@ def pallas_data_term_cost_and_grad(
                 # last band; its shifted gradient contribution is zero at the
                 # first (tv_regularizer.cpp:58-69,90-106). Channel is a
                 # leading (untiled) axis, so the shift is a cheap re-slice.
-                band = jax.lax.broadcasted_iota(jnp.int32, (c, nxt_r, nxt_c), 0)
-                not_last = (band < c - 1).astype(dtype)
+                band = jax.lax.broadcasted_iota(jnp.int32, (cb, nxt_r, nxt_c), 0)
+                not_last = (band < cb - 1).astype(dtype)
 
             gx = {}
             gy = {}
@@ -958,7 +1038,7 @@ def pallas_data_term_cost_and_grad(
             btv_out = acc
 
         two_s2 = jnp.asarray(2.0 * s * s, dtype)
-        zero_plane = jnp.zeros((c, tlr_r, tlr_c), dtype)
+        zero_plane = jnp.zeros((cb, tlr_r, tlr_c), dtype)
         for phr_out in range(s):
             for phc_out in range(s):
                 val = grad_out[phr_out][phc_out]
@@ -968,52 +1048,54 @@ def pallas_data_term_cost_and_grad(
                 if btv_out[phr_out][phc_out] is not None:
                     val = val + btv_out[phr_out][phc_out]
                 grad_ref[0, phr_out * s + phc_out] = val
-        cost_ref[t, 0] = (
+        cost_ref[t, pl.program_id(1)] = (
             jnp.asarray(float(s * s), jnp.float32) * cost_acc + tv_cost + reg_cost
         )
 
     in_specs = [
-        pl.BlockSpec((n_tiles, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_tiles, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
     ]
     inputs = [origins_j]
     if dynamic:
         in_specs += [
-            pl.BlockSpec((k_frames, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((k_frames, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((k_frames, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((k_frames, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ]
         inputs += [tap_int, tap_wgt]
     in_specs += [
-        pl.BlockSpec((1, s * s, c, lrw_r, lrw_c), lambda i: (i, 0, 0, 0, 0)),
-        pl.BlockSpec((1, k_frames, c, ext_r, ext_c), lambda i: (i, 0, 0, 0, 0)),
-        pl.BlockSpec((1, ext_r, ext_c), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, s * s, cb, lrw_r, lrw_c), lambda i, j: (i, 0, j, 0, 0)),
+        pl.BlockSpec((1, k_frames, cb, ext_r, ext_c), lambda i, j: (i, 0, j, 0, 0)),
+        pl.BlockSpec((1, ext_r, ext_c), lambda i, j: (i, 0, 0)),
     ]
     inputs += [xw, yw, mw]
     if use_tv:
         in_specs.append(
-            pl.BlockSpec((1, s * s, c, nxt_r, nxt_c), lambda i: (i, 0, 0, 0, 0))
+            pl.BlockSpec((1, s * s, cb, nxt_r, nxt_c), lambda i, j: (i, 0, j, 0, 0))
         )
         inputs.append(cw)
     if use_btv:
         nbs_r, nbs_c = geom["nb"]
         in_specs.append(
-            pl.BlockSpec((1, s * s, c, nbs_r, nbs_c), lambda i: (i, 0, 0, 0, 0))
+            pl.BlockSpec((1, s * s, cb, nbs_r, nbs_c), lambda i, j: (i, 0, j, 0, 0))
         )
-        inputs.append(cb)
+        inputs.append(cbw)
 
     grad_phases, cost_tiles = pl.pallas_call(
         kernel_fn,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_cb),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, s * s, c, tlr_r, tlr_c), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, s * s, cb, tlr_r, tlr_c), lambda i, j: (i, 0, j, 0, 0)),
+            pl.BlockSpec(
+                (n_tiles, n_cb), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, s * s, c, tlr_r, tlr_c), dtype),
-            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, n_cb), jnp.float32),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((s * s, c, ng1r, ng1c), dtype)] if dynamic else []
+            [pltpu.VMEM((s * s, cb, ng1r, ng1c), dtype)] if dynamic else []
         ),
         interpret=interpret,
     )(*inputs)

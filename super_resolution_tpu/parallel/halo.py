@@ -135,25 +135,124 @@ def halo_scatter_sum(g: jnp.ndarray, halo: int, n_row: int, n_col: int):
     return g
 
 
+def _btv_cost_and_grad_tiled(
+    x2: jnp.ndarray,
+    c2: jnp.ndarray,
+    scale_range: int,
+    spatial_decay: float,
+    halo: int,
+    u0: jnp.ndarray,
+    v0: jnp.ndarray,
+    h_glob: int,
+    w_glob: int,
+):
+    """Coordinate-aware BTV on a halo-padded tile (``ops/btv.py`` semantics
+    with explicit global masks).
+
+    ``x2``/``c2``: tile padded by ``halo >= scale_range`` on every side
+    (fill irrelevant — masked); ``(u0, v0)``: global coords of the padded
+    tile's (0, 0). Returns the cost over OWNED pixels and the gradient on
+    the owned crop. Exact because the gradient at an owned pixel p only
+    involves sources within ``scale_range - 1`` up-left and window reads
+    within ``scale_range`` down-right — all inside the padded tile — and
+    every out-of-global position or offset is masked exactly like the
+    single-device path masks at the true image border
+    (``btv_regularizer.cpp:30,114,139``), including the image-origin
+    source skip.
+    """
+    P, a = scale_range, spatial_decay
+    hp, wp = x2.shape[-2], x2.shape[-1]
+    uu = u0 + jnp.arange(hp)[:, None]
+    vv = v0 + jnp.arange(wp)[None, :]
+    dtype = x2.dtype
+    valid = ((uu >= 0) & (uu < h_glob) & (vv >= 0) & (vv < w_glob)).astype(dtype)
+    not_origin = 1.0 - ((uu == 0) & (vv == 0)).astype(dtype)
+
+    def shifted_diff(i, j):
+        if i == 0 and j == 0:
+            return jnp.zeros_like(x2)
+        in_window = ((uu + i < h_glob) & (vv + j < w_glob)).astype(dtype)
+        d = x2[..., : hp - i, : wp - j] - x2[..., i:, j:]
+        pad = [(0, 0)] * (x2.ndim - 2) + [(0, i), (0, j)]
+        return jnp.pad(d, pad) * in_window * valid
+
+    r = jnp.zeros_like(x2)
+    for i in range(P + 1):
+        for j in range(P + 1):
+            r = r + (a ** (i + j)) * jnp.abs(shifted_diff(i, j))
+
+    sl = (Ellipsis, slice(halo, hp - halo), slice(halo, wp - halo))
+    cost = jnp.sum((c2 * r * r)[sl])
+
+    g = 2.0 * c2 * r * valid
+    grad = jnp.zeros_like(x2)
+    for i in range(P):
+        for j in range(P):
+            t = (a ** (i + j)) * g * jnp.sign(shifted_diff(i, j))
+            grad = grad + t
+            t_masked = t * not_origin
+            if i == 0 and j == 0:
+                grad = grad - t_masked
+            else:
+                pad = [(0, 0)] * (x2.ndim - 2) + [(i, 0), (j, 0)]
+                grad = grad - jnp.pad(
+                    t_masked[..., : hp - i, : wp - j], pad
+                )
+    return cost, grad[sl]
+
+
 def make_tiled_map_value_and_grad(
     mesh: Mesh,
     blur_kernel,
     scale: int,
     tv_lambda: float = 0.0,
     max_shift: int = 4,
+    regularizers: Sequence[tuple[object, float]] = (),
+    image_shape: tuple[int, int] | None = None,
 ):
-    """Build ``value_and_grad(x, observations, shifts, tv_weights) ->
+    """Build ``value_and_grad(x, observations, shifts, reg_weights) ->
     (cost, grad)`` for spatially tiled global arrays.
 
     ``x``: ``[C, H, W]`` sharded PartitionSpec(None, 'row', 'col');
     ``observations``: ``[K, C, H/s, W/s]`` sharded (None, None, 'row', 'col');
-    ``shifts``: ``[K, 2]`` replicated; ``tv_weights``: like x (IRLS weights).
+    ``shifts``: ``[K, 2]`` replicated; ``reg_weights``: like x (IRLS weights).
 
-    Returns a function usable directly by :func:`...solvers.minimize` — the
-    tiled objective is just another fused cost+grad.
+    One regularizer is supported: 2D TV (also via the legacy ``tv_lambda``
+    shorthand) or BTV (needs ``image_shape = (H, W)`` for its global border
+    masks). Returns a function usable directly by
+    :func:`...solvers.minimize` — the tiled objective is just another fused
+    cost+grad.
     """
-    n_row = mesh.shape[ROW_AXIS]
-    n_col = mesh.shape[COL_AXIS]
+    from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
+    from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+
+    regs = tuple(regularizers)
+    if tv_lambda > 0.0:
+        if regs:
+            raise ValueError("Pass tv_lambda OR regularizers, not both.")
+        regs = ((TotalVariationRegularizer(), tv_lambda),)
+    if len(regs) > 1:
+        raise ValueError("The tiled objective supports at most one regularizer.")
+    use_tv = bool(regs) and isinstance(regs[0][0], TotalVariationRegularizer)
+    use_btv = bool(regs) and isinstance(
+        regs[0][0], BilateralTotalVariationRegularizer
+    )
+    if use_tv and regs[0][0].use_3d:
+        raise ValueError("3D spectral TV is band-coupled, not spatial; it "
+                         "does not need the halo path.")
+    if regs and not (use_tv or use_btv):
+        raise ValueError(f"Unsupported regularizer type: {type(regs[0][0])!r}")
+    if use_btv and image_shape is None:
+        raise ValueError("Tiled BTV needs image_shape=(H, W) for its global "
+                         "border masks.")
+    reg_lambda = regs[0][1] if regs else 0.0
+
+    # Row-only / col-only meshes are fine: the absent axis degrades to local
+    # padding (n == 1 skips the ppermute) and must stay out of the specs.
+    n_row = mesh.shape.get(ROW_AXIS, 1)
+    n_col = mesh.shape.get(COL_AXIS, 1)
+    row_name = ROW_AXIS if ROW_AXIS in mesh.axis_names else None
+    col_name = COL_AXIS if COL_AXIS in mesh.axis_names else None
     kernel_size = 0 if blur_kernel is None else blur_kernel.shape[0]
     halo = required_halo(max_shift, kernel_size)
     # Single-hop exchange: each rim comes from the immediate neighbor, so the
@@ -162,8 +261,8 @@ def make_tiled_map_value_and_grad(
     # The local translate's internal padding only needs to cover the shift.
     local_max_shift = int(math.ceil(max_shift)) + 1
 
-    x_spec = PartitionSpec(None, ROW_AXIS, COL_AXIS)
-    obs_spec = PartitionSpec(None, None, ROW_AXIS, COL_AXIS)
+    x_spec = PartitionSpec(None, row_name, col_name)
+    obs_spec = PartitionSpec(None, None, row_name, col_name)
 
     def local_value_and_grad(x_local, obs_local, shifts, w_local):
         # --- Data term ---
@@ -212,24 +311,46 @@ def make_tiled_map_value_and_grad(
         grad = halo_scatter_sum(grad_padded, halo, n_row, n_col)
 
         # --- TV term (radius-2 stencil: gather-only with a 2-pixel rim) ---
-        if tv_lambda > 0.0:
+        if use_tv:
             # Edge-replicated border fill makes forward diffs vanish at the
             # true image border, matching the reference truncation rule.
             x2 = halo_gather(x_local, 2, n_row, n_col, border="edge")
             w2 = halo_gather(w_local, 2, n_row, n_col, border="edge")
-            _, tv_grad_pad = tv_cost_and_grad(x2, tv_lambda * w2)
+            _, tv_grad_pad = tv_cost_and_grad(x2, reg_lambda * w2)
             # Cost: per-pixel separable — sum only the pixels this tile owns.
             from super_resolution_tpu.ops.tv import tv_residuals
 
             r2 = tv_residuals(x2)
-            owned = (tv_lambda * w2) * r2 * r2
+            owned = (reg_lambda * w2) * r2 * r2
             tv_cost = jnp.sum(owned[..., 2:-2, 2:-2])
             cost = cost + tv_cost
             # Gradient at owned pixels is a radius-2 function of x — but rim
             # pixels of the padded array have wrong residuals only beyond
             # radius 1, so the center crop of the padded gradient is exact.
             grad = grad + tv_grad_pad[..., 2:-2, 2:-2]
-        cost = lax.psum(lax.psum(cost, ROW_AXIS), COL_AXIS)
+        elif use_btv:
+            # Gather radius scale_range (window reads down-right, overlap
+            # sources up-left); zero fill is fine — every out-of-global
+            # position/offset is explicitly masked inside.
+            reg = regs[0][0]
+            P = reg.scale_range
+            x2 = halo_gather(x_local, P, n_row, n_col)
+            w2 = halo_gather(w_local, P, n_row, n_col)
+            th, tw = x_local.shape[-2], x_local.shape[-1]
+            i_t = lax.axis_index(ROW_AXIS) if n_row > 1 else 0
+            j_t = lax.axis_index(COL_AXIS) if n_col > 1 else 0
+            u0 = i_t * th - P
+            v0 = j_t * tw - P
+            btv_cost, btv_grad = _btv_cost_and_grad_tiled(
+                x2, reg_lambda * w2, P, reg.spatial_decay, P,
+                u0, v0, image_shape[0], image_shape[1],
+            )
+            cost = cost + btv_cost
+            grad = grad + btv_grad
+        if row_name is not None:
+            cost = lax.psum(cost, ROW_AXIS)
+        if col_name is not None:
+            cost = lax.psum(cost, COL_AXIS)
         return cost, grad
 
     tiled = jax.shard_map(
@@ -239,14 +360,16 @@ def make_tiled_map_value_and_grad(
         out_specs=(PartitionSpec(), x_spec),
     )
 
+    reg_halo = regs[0][0].scale_range if use_btv else (2 if use_tv else 0)
+
     def value_and_grad(x, observations, shifts, tv_weights=None):
         tile_h = x.shape[-2] // n_row
         tile_w = x.shape[-1] // n_col
-        if halo > min(tile_h, tile_w):
+        if max(halo, reg_halo) > min(tile_h, tile_w):
             raise ValueError(
-                f"Stencil halo ({halo}) exceeds the local tile size "
-                f"({tile_h}x{tile_w}); use fewer tiles, a larger image, or a "
-                f"smaller max_shift (single-hop halo exchange)."
+                f"Stencil halo ({max(halo, reg_halo)}) exceeds the local tile "
+                f"size ({tile_h}x{tile_w}); use fewer tiles, a larger image, "
+                f"or a smaller max_shift (single-hop halo exchange)."
             )
         if tv_weights is None:
             tv_weights = jnp.ones_like(x)

@@ -71,6 +71,7 @@ def make_band_sharded_pallas_vg(
     """
     from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
     from super_resolution_tpu.ops.pallas.degrade import (
+        choose_channel_block,
         choose_tile,
         pack_btv_constants,
         pack_tv_constants,
@@ -107,12 +108,24 @@ def make_band_sharded_pallas_vg(
     c_local = c // n_band
     static_shifts = np.asarray(static_shifts)
     kernel_np = None if blur_kernel is None else np.asarray(blur_kernel)
+    channel_block = 0
     if not (isinstance(pallas_tile, (tuple, list)) or pallas_tile > 0):
-        pallas_tile = choose_tile(
-            c_local, scale, k, static_shifts, kernel_np,
-            use_tv=fuse_tv, use_btv=fuse_btv,
-            btv_range=regs[0][0].scale_range if fuse_btv else 0,
-        )
+        if c_local > 1:
+            channel_block, pallas_tile = choose_channel_block(
+                c_local, scale, k, static_shifts, kernel_np,
+                use_tv=fuse_tv, use_btv=fuse_btv,
+                btv_range=regs[0][0].scale_range if fuse_btv else 0,
+                image_hw=(observations.shape[2] * scale,
+                          observations.shape[3] * scale),
+            )
+        else:
+            pallas_tile = choose_tile(
+                c_local, scale, k, static_shifts, kernel_np,
+                use_tv=fuse_tv, use_btv=fuse_btv,
+                btv_range=regs[0][0].scale_range if fuse_btv else 0,
+                image_hw=(observations.shape[2] * scale,
+                          observations.shape[3] * scale),
+            )
     lam = regs[0][1] if regs else 0.0
 
     x_spec = P(BAND_AXIS, None, None)
@@ -121,7 +134,8 @@ def make_band_sharded_pallas_vg(
     def _kernel(x_local, obs_local, **reg_kwargs):
         cost, grad = pallas_data_term_cost_and_grad(
             x_local, obs_local, static_shifts, kernel_np, scale,
-            tile=pallas_tile, interpret=interpret, **reg_kwargs,
+            tile=pallas_tile, interpret=interpret,
+            channel_block=channel_block, **reg_kwargs,
         )
         # The one collective per evaluation: scalar cost over the band axis.
         return lax.psum(cost, BAND_AXIS), grad
@@ -224,6 +238,7 @@ def make_frame_sharded_pallas_vg(
     """
     from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
     from super_resolution_tpu.ops.pallas.degrade import (
+        choose_channel_block,
         choose_tile,
         pack_btv_constants,
         pack_tv_constants,
@@ -257,13 +272,26 @@ def make_frame_sharded_pallas_vg(
     k_local = k // frame_size
     c_local = c // band_size
     kernel_np = None if blur_kernel is None else np.asarray(blur_kernel)
+    channel_block = 0
     if not (isinstance(pallas_tile, (tuple, list)) or pallas_tile > 0):
-        pallas_tile = choose_tile(
-            c_local, scale, k_local, None, kernel_np,
-            use_tv=fuse_tv, use_btv=fuse_btv,
-            btv_range=regs[0][0].scale_range if fuse_btv else 0,
-            shift_bound=shift_bound,
-        )
+        if c_local > 1:
+            channel_block, pallas_tile = choose_channel_block(
+                c_local, scale, k_local, None, kernel_np,
+                use_tv=fuse_tv, use_btv=fuse_btv,
+                btv_range=regs[0][0].scale_range if fuse_btv else 0,
+                shift_bound=shift_bound,
+                image_hw=(observations.shape[2] * scale,
+                          observations.shape[3] * scale),
+            )
+        else:
+            pallas_tile = choose_tile(
+                c_local, scale, k_local, None, kernel_np,
+                use_tv=fuse_tv, use_btv=fuse_btv,
+                btv_range=regs[0][0].scale_range if fuse_btv else 0,
+                shift_bound=shift_bound,
+                image_hw=(observations.shape[2] * scale,
+                          observations.shape[3] * scale),
+            )
     # x (and the IRLS weights) are REPLICATED across the frame axis, so each
     # frame shard computes the full fused regularizer term; both its cost and
     # its gradient are linear in the packed constants, and both get psum'd
@@ -281,7 +309,7 @@ def make_frame_sharded_pallas_vg(
             x_local, obs_local, None, kernel_np, scale,
             tile=pallas_tile, interpret=interpret,
             dynamic_shifts=shifts_local, shift_bound=shift_bound,
-            **reg_kwargs,
+            channel_block=channel_block, **reg_kwargs,
         )
         # Collectives: scalar cost over every sharded axis; the per-frame
         # gradient partial sums over the frame axis (grad stays band-local).

@@ -134,15 +134,35 @@ class IRLSMapSolver(MapSolverBase):
         super().__init__(image_model, low_res_images, print_solver_output)
         self.options = options
         self.mesh = mesh
+        self._spatial_mesh = False
         if mesh is not None:
-            from super_resolution_tpu.parallel.data_parallel import shard_problem
-
-            # x placement happens per solve; shard the static observations now.
-            zeros = jnp.zeros(self.hr_shape, self.observations.dtype)
-            _, self.observations, _ = shard_problem(
-                mesh, zeros, self.observations,
-                jnp.zeros((self.observations.shape[0], 2)),
+            from super_resolution_tpu.parallel.mesh import (
+                COL_AXIS,
+                ROW_AXIS,
+                named_sharding,
             )
+
+            self._spatial_mesh = (
+                ROW_AXIS in mesh.axis_names or COL_AXIS in mesh.axis_names
+            )
+            if self._spatial_mesh:
+                row = ROW_AXIS if ROW_AXIS in mesh.axis_names else None
+                col = COL_AXIS if COL_AXIS in mesh.axis_names else None
+                self.observations = jax.device_put(
+                    self.observations, named_sharding(mesh, None, None, row, col)
+                )
+            else:
+                from super_resolution_tpu.parallel.data_parallel import (
+                    shard_problem,
+                )
+
+                # x placement happens per solve; shard the static
+                # observations now.
+                zeros = jnp.zeros(self.hr_shape, self.observations.dtype)
+                _, self.observations, _ = shard_problem(
+                    mesh, zeros, self.observations,
+                    jnp.zeros((self.observations.shape[0], 2)),
+                )
 
         motion = image_model.motion_operator
         k = self.observations.shape[0]
@@ -158,7 +178,11 @@ class IRLSMapSolver(MapSolverBase):
         if mesh is not None:
             from super_resolution_tpu.parallel.mesh import FRAME_AXIS, named_sharding
 
-            frame = FRAME_AXIS if FRAME_AXIS in mesh.axis_names else None
+            frame = (
+                FRAME_AXIS
+                if FRAME_AXIS in mesh.axis_names and not self._spatial_mesh
+                else None
+            )
             self.shifts = jax.device_put(
                 self.shifts, named_sharding(mesh, frame, None)
             )
@@ -260,6 +284,7 @@ class IRLSMapSolver(MapSolverBase):
                 and opts.diff_mode == "analytic",
                 pallas_tile=opts.pallas_tile,
                 pallas_shift_bound=opts.pallas_shift_bound if pallas_dynamic else 0.0,
+                pallas_channel_block=opts.pallas_channel_block,
             )
             return irls_solve_fused(vg.prepare, regs, x0, opts)
 
@@ -273,6 +298,67 @@ class IRLSMapSolver(MapSolverBase):
         diff_mode = opts.diff_mode
 
         static_shifts = np.asarray(self.shifts)
+
+        # Spatial (row/col) meshes: route through the halo-exchange tiled
+        # objective (parallel/halo.py) — explicit ppermute halo gather +
+        # exact scatter-sum adjoint, one cost psum per evaluation. Falls
+        # back to the GSPMD traced path when the configuration doesn't fit
+        # (3D TV, >1 regularizer, non-divisible tiles, numerical diff).
+        if self.mesh is not None and self._spatial_mesh and diff_mode == "analytic":
+            from super_resolution_tpu.ops.btv import (
+                BilateralTotalVariationRegularizer,
+            )
+            from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+            from super_resolution_tpu.parallel.halo import (
+                make_tiled_map_value_and_grad,
+            )
+            from super_resolution_tpu.parallel.mesh import COL_AXIS, ROW_AXIS
+
+            axis_sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+            spatial_only = all(
+                n == 1 or name in (ROW_AXIS, COL_AXIS)
+                for name, n in axis_sizes.items()
+            )
+            regs_ok = len(regs) <= 1 and all(
+                (
+                    isinstance(r, TotalVariationRegularizer)
+                    and not getattr(r, "use_3d", False)
+                )
+                or isinstance(r, BilateralTotalVariationRegularizer)
+                for r, _ in regs
+            )
+            n_row = axis_sizes.get(ROW_AXIS, 1)
+            n_col = axis_sizes.get(COL_AXIS, 1)
+            _, h_hr, w_hr = self.hr_shape
+            shapes_ok = (
+                h_hr % n_row == 0
+                and w_hr % n_col == 0
+                and (h_hr // n_row) % scale == 0
+                and (w_hr // n_col) % scale == 0
+            )
+            if spatial_only and regs_ok and shapes_ok:
+                mesh = self.mesh
+                image_shape = (h_hr, w_hr)
+
+                def inner_spatial(x0, observations, shifts, weights):
+                    vg = make_tiled_map_value_and_grad(
+                        mesh, kernel, scale, max_shift=max_shift,
+                        regularizers=regs, image_shape=image_shape,
+                    )
+                    w0 = weights[0] if weights else None
+                    return minimize(
+                        lambda x: vg(x, observations, shifts, w0),
+                        x0,
+                        method=opts.least_squares_solver,
+                        max_iterations=opts.max_num_solver_iterations,
+                        gradient_norm_threshold=opts.gradient_norm_threshold,
+                        cost_decrease_threshold=opts.cost_decrease_threshold,
+                        parameter_variation_threshold=opts.parameter_variation_threshold,
+                        memory=opts.num_lbfgs_hessian_corrections,
+                        log_iterations=self.verbose,
+                    )
+
+                return jax.jit(inner_spatial)
 
         # Mesh solves: route through the band-sharded fused-Pallas objective
         # when the configuration allows it (band-only mesh, host-known
@@ -395,6 +481,7 @@ class IRLSMapSolver(MapSolverBase):
                 and self.mesh is None,
                 pallas_tile=opts.pallas_tile,
                 pallas_shift_bound=opts.pallas_shift_bound if pallas_dynamic else 0.0,
+                pallas_channel_block=opts.pallas_channel_block,
             )
             return minimize(
                 vg_full.prepare(weights),
@@ -421,10 +508,22 @@ class IRLSMapSolver(MapSolverBase):
 
         regs = self.regularizers
         if self.mesh is not None:
-            from super_resolution_tpu.parallel.mesh import BAND_AXIS, named_sharding
+            from super_resolution_tpu.parallel.mesh import (
+                BAND_AXIS,
+                COL_AXIS,
+                ROW_AXIS,
+                named_sharding,
+            )
 
-            band = BAND_AXIS if BAND_AXIS in self.mesh.axis_names else None
-            x0 = jax.device_put(x0, named_sharding(self.mesh, band, None, None))
+            if self._spatial_mesh:
+                row = ROW_AXIS if ROW_AXIS in self.mesh.axis_names else None
+                col = COL_AXIS if COL_AXIS in self.mesh.axis_names else None
+                x0 = jax.device_put(x0, named_sharding(self.mesh, None, row, col))
+            else:
+                band = BAND_AXIS if BAND_AXIS in self.mesh.axis_names else None
+                x0 = jax.device_put(
+                    x0, named_sharding(self.mesh, band, None, None)
+                )
         weights = tuple(jnp.ones_like(x0) for _ in regs)
         x = x0
         prev_cost = float("inf")
@@ -435,6 +534,13 @@ class IRLSMapSolver(MapSolverBase):
             weights = tuple(
                 jnp.asarray(state[f"weight_{i}"]) for i in range(len(regs))
             )
+            if self.mesh is not None:
+                # Restore the mesh placement (checkpoints are host arrays);
+                # without this the resumed solve compiles a second executable
+                # for the unsharded layout.
+                placement = x0.sharding
+                x = jax.device_put(x, placement)
+                weights = tuple(jax.device_put(w, placement) for w in weights)
             prev_cost = float(state["prev_cost"])
             iteration = int(state["iteration"])
             if self.verbose:

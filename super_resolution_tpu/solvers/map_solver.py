@@ -43,6 +43,11 @@ class MapSolverOptions:
     # 0 keeps the trace-time-specialized kernel (fastest for one fixed,
     # host-known motion sequence).
     pallas_shift_bound: float = 0.0
+    # Bands per kernel grid step; 0 = automatic (largest channel block that
+    # keeps the spatial tile at the 1-band optimum; see
+    # ops/pallas/degrade.py choose_channel_block). Hyperspectral stacks keep
+    # large, lane-filling tiles this way instead of OOM-shrinking them.
+    pallas_channel_block: int = 0
     # Run the ENTIRE IRLS loop in one jitted graph (irls_solve_fused): the
     # outer reweighting becomes a lax.while_loop around the inner CG/L-BFGS
     # while_loop — zero host round-trips per IRLS iteration. The host-loop

@@ -132,6 +132,7 @@ def make_map_value_and_grad(
     use_pallas: bool = False,
     pallas_tile: int = 0,
     pallas_shift_bound: float = 0.0,
+    pallas_channel_block: int = 0,
 ) -> Callable:
     """Build ``value_and_grad(x, weights) -> (cost, grad)`` for the MAP objective.
 
@@ -187,22 +188,42 @@ def make_map_value_and_grad(
     if use_pallas:
         import numpy as _np
 
-        from super_resolution_tpu.ops.pallas.degrade import choose_tile
+        from super_resolution_tpu.ops.pallas.degrade import (
+            choose_channel_block,
+            choose_tile,
+        )
 
         kernel_np = None if blur_kernel is None else _np.asarray(blur_kernel)
         explicit = (
             isinstance(pallas_tile, (tuple, list)) or pallas_tile > 0
         )  # (rows, cols) tuples are always explicit
+        num_channels = observations.shape[1]
         if not explicit:
-            # VMEM-aware automatic tile; an explicit pallas_tile overrides
-            # (e.g. 512 measured fastest for the 1-channel 4x bench shape).
-            pallas_tile = choose_tile(
-                observations.shape[1], scale, observations.shape[0],
-                static_shifts, kernel_np,
-                use_tv=fuse_tv, use_btv=fuse_btv,
-                btv_range=regs[0][0].scale_range if fuse_btv else 0,
-                shift_bound=pallas_shift_bound if pallas_dynamic else None,
-            )
+            if pallas_channel_block == 0 and num_channels > 1 and not tv_use_3d:
+                # Multi-band: pick the largest channel block that keeps the
+                # spatial tile at the 1-band optimum (the grid gains a
+                # channel axis instead of the tile shrinking).
+                pallas_channel_block, pallas_tile = choose_channel_block(
+                    num_channels, scale, observations.shape[0],
+                    static_shifts, kernel_np,
+                    use_tv=fuse_tv, use_btv=fuse_btv,
+                    btv_range=regs[0][0].scale_range if fuse_btv else 0,
+                    shift_bound=pallas_shift_bound if pallas_dynamic else None,
+                    image_hw=(observations.shape[2] * scale,
+                              observations.shape[3] * scale),
+                )
+            else:
+                # VMEM-aware automatic tile; an explicit pallas_tile overrides
+                # (e.g. 512 measured fastest for the 1-channel 4x bench shape).
+                pallas_tile = choose_tile(
+                    num_channels, scale, observations.shape[0],
+                    static_shifts, kernel_np,
+                    use_tv=fuse_tv, use_btv=fuse_btv,
+                    btv_range=regs[0][0].scale_range if fuse_btv else 0,
+                    shift_bound=pallas_shift_bound if pallas_dynamic else None,
+                    image_hw=(observations.shape[2] * scale,
+                              observations.shape[3] * scale),
+                )
     else:
         kernel_np = None
         pallas_tile = 0
@@ -217,11 +238,13 @@ def make_map_value_and_grad(
                 return pallas_data_term_cost_and_grad(
                     x, observations, None, kernel_np, scale,
                     tile=pallas_tile, dynamic_shifts=shifts,
-                    shift_bound=pallas_shift_bound, **fused_reg_kwargs,
+                    shift_bound=pallas_shift_bound,
+                    channel_block=pallas_channel_block, **fused_reg_kwargs,
                 )
             return pallas_data_term_cost_and_grad(
                 x, observations, static_shifts, kernel_np, scale,
-                tile=pallas_tile, **fused_reg_kwargs,
+                tile=pallas_tile, channel_block=pallas_channel_block,
+                **fused_reg_kwargs,
             )
         if static_shifts is not None:
             return data_term_cost_and_grad_static(

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -30,24 +32,33 @@ __all__ = ["shift_add_fusion", "fill_holes"]
 
 def fill_holes(image: jnp.ndarray, known_mask: jnp.ndarray, num_iterations: int | None = None):
     """Fill ``image`` where ``known_mask == 0`` by repeated known-neighbor
-    averaging (3x3). ``num_iterations`` defaults to enough sweeps to cover any
-    hole in the image."""
-    if num_iterations is None:
-        num_iterations = max(image.shape[-2], image.shape[-1])
+    averaging (3x3). Sweeps stop as soon as every pixel is covered (each
+    sweep past coverage is a no-op, so the early exit is result-identical;
+    regular shift sets cover the grid in 0-2 sweeps). ``num_iterations``
+    caps the sweep count; the default cap covers any hole in the image."""
+    cap = (
+        max(image.shape[-2], image.shape[-1])
+        if num_iterations is None
+        else num_iterations
+    )
     box = jnp.ones((3, 3), dtype=image.dtype)
     mask = known_mask.astype(image.dtype)
 
-    def body(_, carry):
-        img, m = carry
+    def cond(carry):
+        _, m, i = carry
+        return (i < cap) & jnp.logical_not(jnp.all(m > 0))
+
+    def body(carry):
+        img, m, i = carry
         num = correlate2d(img * m, box)
         den = correlate2d(m, box)
         grown = den > 0
         fill = num / jnp.maximum(den, 1.0)
         img = jnp.where(m > 0, img, jnp.where(grown, fill, img))
         m = jnp.maximum(m, grown.astype(image.dtype))
-        return img, m
+        return img, m, i + 1
 
-    filled, _ = lax.fori_loop(0, num_iterations, body, (image, mask))
+    filled, _, _ = lax.while_loop(cond, body, (image, mask, jnp.int32(0)))
     return filled
 
 
@@ -66,7 +77,10 @@ def shift_add_fusion(
     """
     stack = jnp.asarray(jnp.stack([jnp.asarray(f) for f in frames])
                         if isinstance(frames, (list, tuple)) else frames)
-    shifts_arr = [(float(s[0]), float(s[1])) for s in jnp.asarray(shifts)]
+    # Shifts are host-known placement offsets (compile-time constants under
+    # jit) — keep them on the host; jnp.asarray here would re-stage them as
+    # traced constants and break the float() specialization.
+    shifts_arr = [(float(s[0]), float(s[1])) for s in np.asarray(shifts)]
     if stack.shape[0] != len(shifts_arr):
         raise ValueError("The number of motion estimates must match the number of frames.")
 

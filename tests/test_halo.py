@@ -140,3 +140,53 @@ def test_tiled_solve_matches_single_device():
     out = solve(x0_s, obs_s, shifts, weights)
     assert matrices_equal(np.asarray(out.x), np.asarray(ref.x), 1e-8)
     assert abs(float(out.cost) - float(ref.cost)) < 1e-8
+
+
+def test_tiled_btv_matches_global():
+    """Tiled BTV (coordinate-aware masks) == the single-device BTV objective,
+    including the inclusive/exclusive window asymmetry and the image-origin
+    source skip (btv_regularizer.cpp:30,114,139)."""
+    from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
+
+    hr, obs, shifts, kernel = _problem(c=2, hw=(24, 32), seed=66)
+    mesh = _mesh_2x4()
+    rng = np.random.default_rng(67)
+    weights = jnp.asarray(rng.random(hr.shape))
+    regs = [(BilateralTotalVariationRegularizer(2, 0.7), 0.01)]
+
+    vg_global = make_map_value_and_grad(obs, shifts, kernel, 2, regs, max_shift=3)
+    cost_ref, grad_ref = vg_global(hr, (weights,))
+
+    vg_tiled = make_tiled_map_value_and_grad(
+        mesh, kernel, 2, max_shift=3, regularizers=regs,
+        image_shape=(hr.shape[-2], hr.shape[-1]),
+    )
+    x_s = jax.device_put(hr, NamedSharding(mesh, PartitionSpec(None, ROW_AXIS, COL_AXIS)))
+    obs_s = jax.device_put(
+        obs, NamedSharding(mesh, PartitionSpec(None, None, ROW_AXIS, COL_AXIS))
+    )
+    cost_tiled, grad_tiled = jax.jit(vg_tiled)(x_s, obs_s, shifts, weights)
+
+    assert abs(float(cost_tiled) - float(cost_ref)) < 1e-9 * max(1.0, abs(float(cost_ref)))
+    assert matrices_equal(np.asarray(grad_tiled), np.asarray(grad_ref), 1e-9)
+
+
+def test_tiled_row_only_mesh():
+    """A row-only mesh (no col axis) tiles rows and pads cols locally."""
+    hr, obs, shifts, kernel = _problem(hw=(32, 16), seed=68)
+    # 2 row tiles of 16 rows each: the stencil halo (7 = ceil(3)+1+k//2)
+    # must fit inside a tile for the single-hop exchange.
+    mesh = make_mesh({ROW_AXIS: 2}, devices=jax.devices()[:2])
+    weights = jnp.ones_like(hr)
+    vg_global = make_map_value_and_grad(
+        obs, shifts, kernel, 2, [(TotalVariationRegularizer(), 0.01)], max_shift=3
+    )
+    cost_ref, grad_ref = vg_global(hr, (weights,))
+    vg_tiled = make_tiled_map_value_and_grad(mesh, kernel, 2, tv_lambda=0.01, max_shift=3)
+    x_s = jax.device_put(hr, NamedSharding(mesh, PartitionSpec(None, ROW_AXIS)))
+    obs_s = jax.device_put(
+        obs, NamedSharding(mesh, PartitionSpec(None, None, ROW_AXIS))
+    )
+    cost_tiled, grad_tiled = jax.jit(vg_tiled)(x_s, obs_s, shifts, weights)
+    assert abs(float(cost_tiled) - float(cost_ref)) < 1e-9 * max(1.0, abs(float(cost_ref)))
+    assert matrices_equal(np.asarray(grad_tiled), np.asarray(grad_ref), 1e-9)

@@ -40,3 +40,37 @@ def test_mesh_irls_solver_quality_parity():
     # reduction-order noise across outer iterations; parity is judged at the
     # quality level (same bar as the C++ reference comparison).
     assert abs(p_single - p_sharded) < 0.1, (p_single, p_sharded)
+
+
+@pytest.mark.parametrize("reg_kind", ["tv", "btv"])
+def test_spatial_mesh_irls_solver_parity(reg_kind):
+    """IRLSMapSolver(mesh=row x col) routes through the halo-exchange tiled
+    objective (BASELINE config 5's spatial axis) and matches single-device."""
+    from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
+    from super_resolution_tpu.parallel import COL_AXIS, ROW_AXIS
+
+    rng = np.random.default_rng(3)
+    hr = jnp.asarray(rng.random((1, 16, 32)))
+    seq = MotionShiftSequence(
+        [MotionShift(0, 0), MotionShift(1, 1), MotionShift(-1, 0), MotionShift(0.5, -0.5)]
+    )
+    model = ImageModel.create(
+        ImageModelParameters(scale=2, blur_radius=3, blur_sigma=1.0, motion_sequence=seq)
+    )
+    obs = [np.asarray(model.apply(hr, k)) for k in range(4)]
+    mesh = make_mesh({ROW_AXIS: 2, COL_AXIS: 4})
+    reg = (
+        TotalVariationRegularizer()
+        if reg_kind == "tv"
+        else BilateralTotalVariationRegularizer(2, 0.7)
+    )
+    results = {}
+    for label, m in (("single", None), ("tiled", mesh)):
+        solver = IRLSMapSolver(
+            IRLSMapSolverOptions(max_num_irls_iterations=3), model, obs, mesh=m
+        )
+        solver.add_regularizer(reg, 0.001)
+        results[label] = np.asarray(solver.solve(np.zeros((1, 16, 32))))
+    p_single = float(psnr(results["single"], np.asarray(hr)))
+    p_tiled = float(psnr(results["tiled"], np.asarray(hr)))
+    assert abs(p_single - p_tiled) < 0.1, (p_single, p_tiled)

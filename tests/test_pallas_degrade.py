@@ -451,3 +451,82 @@ def test_shift_bound_bucket():
     assert shift_bound_bucket(2.0) == 2
     assert shift_bound_bucket(2.1) == 4
     assert shift_bound_bucket(7.9) == 8
+
+
+# ---------------------------------------------------------------------------
+# Channel (band-block) grid dimension: hyperspectral stacks keep large
+# spatial tiles by processing channel_block bands per grid step.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("cblk", [1, 2, 3, 6])
+def test_channel_block_matches_full(cblk):
+    x, obs, shifts_np, kernel = _problem(
+        [(0, 0), (1.5, -0.5)], scale=2, c=6, hw=(24, 28), seed=105
+    )
+    rng = np.random.default_rng(106)
+    constants = jnp.asarray(rng.random(x.shape), jnp.float32) * 0.05
+    for kwargs in (
+        {},
+        dict(tv_constants=constants),
+        dict(btv_constants=constants, btv_range=2, btv_decay=0.5),
+    ):
+        c_ref, g_ref = pallas_data_term_cost_and_grad(
+            x, obs, shifts_np, kernel, 2, tile=16, interpret=True, **kwargs
+        )
+        c_b, g_b = pallas_data_term_cost_and_grad(
+            x, obs, shifts_np, kernel, 2, tile=16, interpret=True,
+            channel_block=cblk, **kwargs,
+        )
+        assert abs(float(c_b) - float(c_ref)) < 1e-4 * max(1.0, abs(float(c_ref)))
+        assert matrices_equal(np.asarray(g_b), np.asarray(g_ref), 1e-5)
+
+
+def test_channel_block_dynamic_shifts():
+    x, obs, shifts_np, kernel = _problem(
+        [(0, 0), (0.5, 1.25)], scale=2, c=4, hw=(24, 24), seed=107
+    )
+    c_ref, g_ref = pallas_data_term_cost_and_grad(
+        x, obs, shifts_np, kernel, 2, tile=16, interpret=True
+    )
+    c_b, g_b = pallas_data_term_cost_and_grad(
+        x, obs, None, kernel, 2, tile=16, interpret=True, channel_block=2,
+        dynamic_shifts=jnp.asarray(shifts_np, jnp.float32), shift_bound=2.0,
+    )
+    assert abs(float(c_b) - float(c_ref)) < 1e-4 * max(1.0, abs(float(c_ref)))
+    assert matrices_equal(np.asarray(g_b), np.asarray(g_ref), 1e-5)
+
+
+def test_channel_block_validation():
+    x, obs, shifts_np, kernel = _problem([(0, 0)], scale=2, c=4, hw=(16, 16))
+    with pytest.raises(ValueError, match="does not divide"):
+        pallas_data_term_cost_and_grad(
+            x, obs, shifts_np, kernel, 2, tile=16, interpret=True,
+            channel_block=3,
+        )
+    rng = np.random.default_rng(108)
+    constants = jnp.asarray(rng.random(x.shape), jnp.float32)
+    with pytest.raises(ValueError, match="3D spectral TV"):
+        pallas_data_term_cost_and_grad(
+            x, obs, shifts_np, kernel, 2, tile=16, interpret=True,
+            channel_block=2, tv_constants=constants, tv_use_3d=True,
+        )
+
+
+def test_choose_channel_block_keeps_single_band_tile():
+    """The chooser returns the 1-band tile with a block that fits it; many-
+    band images must not shrink the spatial tile anymore."""
+    from super_resolution_tpu.ops.pallas.degrade import (
+        choose_channel_block,
+        choose_tile,
+    )
+
+    shifts = np.asarray([(0, 0), (1, 1), (0, 1), (1, 0)])
+    kernel = np.ones((7, 7), np.float32) / 49.0
+    target = choose_tile(1, 4, 4, shifts, kernel, use_tv=True)
+    block, tile = choose_channel_block(64, 4, 4, shifts, kernel, use_tv=True)
+    assert tile == target
+    assert 64 % block == 0
+    # Without blocking, 64 bands shrink the tile below the 1-band choice.
+    shrunk = choose_tile(64, 4, 4, shifts, kernel, use_tv=True)
+    assert shrunk[0] * shrunk[1] < target[0] * target[1]
