@@ -108,6 +108,22 @@ def irls_solve_fused(
 # Minimum residual for IRLS reweighting (``irls_map_solver.cpp:34``).
 _MIN_RESIDUAL = 1e-5
 
+# Built inner solvers shared ACROSS solver instances (module-level): video
+# sliding windows construct a fresh IRLSMapSolver per frame, and rebuilding
+# the jit wrapper forces a full retrace (measured ~21 s host overhead on a
+# 1000^2 solve). Keyed by everything the trace bakes in as a constant:
+# options, regularizer signatures, blur kernel bytes, static shift bytes
+# (None on the shift-generic path, where shifts are traced arguments),
+# scale/max_shift/verbosity, and the mesh identity.
+_BUILT_SOLVER_CACHE: dict = {}
+
+
+def _regs_signature(regs):
+    return tuple(
+        (type(r).__name__, tuple(sorted(vars(r).items())), lam)
+        for r, lam in regs
+    )
+
 
 def _as_chw(image) -> jnp.ndarray:
     arr = getattr(image, "array", image)
@@ -134,6 +150,12 @@ class IRLSMapSolver(MapSolverBase):
         super().__init__(image_model, low_res_images, print_solver_output)
         self.options = options
         self.mesh = mesh
+        # Built inner solvers, keyed by (split, options): repeated solve()
+        # calls (video sliding windows, IRLS restarts) must reuse the jitted
+        # executable — rebuilding the jit wrapper per call forces a full
+        # retrace (measured ~21 s of pure host overhead on a 5x10-iteration
+        # 1000^2 solve, experiments/tpu_irls_mode_bench.py pre-fix).
+        self._inner_cache = {}
         self._spatial_mesh = False
         if mesh is not None:
             from super_resolution_tpu.parallel.mesh import (
@@ -171,7 +193,15 @@ class IRLSMapSolver(MapSolverBase):
             if arr.shape[0] < k:
                 raise ValueError("Fewer motion shifts than LR frames.")
             self.shifts = jnp.asarray(arr[:k])
-            self.max_shift = motion.max_shift
+            # Bucket the warp-padding bound to the next power of two:
+            # max_shift only sizes translate's internal pad (semantics are
+            # pad -> warp -> crop, unchanged by extra pad), and per-window
+            # exact values would give every video sliding window its own
+            # trace — bucketing collapses them onto one cached executable.
+            b = 2
+            while b < motion.max_shift:
+                b *= 2
+            self.max_shift = b
         else:
             self.shifts = jnp.zeros((k, 2))
             self.max_shift = 2
@@ -221,10 +251,52 @@ class IRLSMapSolver(MapSolverBase):
             )
 
         results = []
-        if opts.fused_irls:
-            inner = self._build_fused_solver(opts)
-        else:
-            inner = self._build_inner_solver(channels_per_split, opts)
+        kern = self.blur_kernel
+        # Shift values are baked into the trace ONLY on the host-known-shift
+        # paths; the shift-generic kernel (pallas_shift_bound > 0) takes them
+        # as traced arguments, and keying on them there would defeat the
+        # cross-window executable reuse it exists for.
+        pallas_dynamic = (
+            opts.use_pallas_data_term
+            and opts.pallas_shift_bound > 0.0
+            and opts.diff_mode == "analytic"
+            and self.mesh is None
+        )
+        shifts_baked = (
+            self.mesh is not None
+            or (
+                opts.diff_mode == "analytic"
+                and (opts.use_static_shifts or opts.use_pallas_data_term)
+                and not pallas_dynamic
+            )
+        )
+        # repr() keys all option fields incl. list-valued pallas_tile
+        # (astuple would make the key unhashable for list inputs).
+        cache_key = (
+            channels_per_split,
+            repr(opts),
+            _regs_signature(self.regularizers),
+            None if kern is None else (kern.shape, np.asarray(kern).tobytes()),
+            np.asarray(self.shifts).tobytes() if shifts_baked else None,
+            self.scale,
+            self.max_shift,
+            self.verbose,
+            None if self.mesh is None else id(self.mesh),
+        )
+        inner = self._inner_cache.get(cache_key)
+        if inner is None and self.mesh is None:
+            # Cross-instance reuse (video sliding windows build a fresh
+            # solver per frame); mesh solvers stay instance-local (the mesh
+            # object itself is baked into the shard_map).
+            inner = _BUILT_SOLVER_CACHE.get(cache_key)
+        if inner is None:
+            if opts.fused_irls:
+                inner = self._build_fused_solver(opts)
+            else:
+                inner = self._build_inner_solver(channels_per_split, opts)
+            self._inner_cache[cache_key] = inner
+            if self.mesh is None:
+                _BUILT_SOLVER_CACHE[cache_key] = inner
         for i in range(num_rounds):
             ch0 = i * channels_per_split
             ch1 = ch0 + channels_per_split
