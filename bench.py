@@ -62,14 +62,23 @@ def _solve_throughput(observations, shifts, kernel, scale, regs, iters,
             static_shifts=static_shifts if use_pallas else None,
             use_pallas=use_pallas,
             pallas_tile=pallas_tile if use_pallas else 0,
+            # Production solver state: polyphase planes across the whole CG
+            # solve (converted once at each boundary; numerically identical).
+            phase_io=use_pallas,
             **vg_kwargs,
         )
-        return minimize(
-            vg.prepare(weights), jnp.zeros(hr_shape, observations.dtype),
+        x_start = jnp.zeros(hr_shape, observations.dtype)
+        if use_pallas:
+            x_start = vg.to_planes(x_start)
+        result = minimize(
+            vg.prepare(weights), x_start,
             method="cg", max_iterations=iters,
             gradient_norm_threshold=0.0, cost_decrease_threshold=0.0,
             parameter_variation_threshold=0.0,
         )
+        if use_pallas:
+            result = result._replace(x=vg.from_planes(result.x))
+        return result
 
     x0 = jnp.zeros(hr_shape, observations.dtype)
     result = solve(x0, observations, shifts, weights)

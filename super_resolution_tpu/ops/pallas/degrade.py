@@ -52,6 +52,8 @@ __all__ = [
     "choose_tile",
     "choose_channel_block",
     "shift_bound_bucket",
+    "hr_to_planes",
+    "planes_to_hr",
 ]
 
 
@@ -152,6 +154,28 @@ def pack_tv_constants(
             r0, c0 = ti * tlr_r, tj * tlr_c
             cw.append(cph[:, :, r0 : r0 + nxt_r, c0 : c0 + nxt_c])
     return jnp.stack(cw)  # [T, s*s, c, nxt_r, nxt_c]
+
+
+def hr_to_planes(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """``[C, H, W]`` -> polyphase planes ``[s*s, C, H/s, W/s]`` (plane
+    ``pr*s + pc`` holds ``x[..., pr::s, pc::s]``). The solver-state layout
+    for ``phase_io`` evaluations; H, W must be multiples of ``scale``."""
+    s = int(scale)
+    c, h, w = x.shape
+    if h % s or w % s:
+        raise ValueError(f"HR dims {(h, w)} not divisible by scale {s}.")
+    p = x.reshape(c, h // s, s, w // s, s).transpose(2, 4, 0, 1, 3)
+    return p.reshape(s * s, c, h // s, w // s)
+
+
+def planes_to_hr(p: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Inverse of :func:`hr_to_planes`."""
+    s = int(scale)
+    s2, c, hl, wl = p.shape
+    if s2 != s * s:
+        raise ValueError(f"{s2} planes != scale^2 = {s * s}.")
+    x = p.reshape(s, s, c, hl, wl).transpose(2, 3, 0, 4, 1)
+    return x.reshape(c, hl * s, wl * s)
 
 
 def _btv_margin(scale_range: int, s: int) -> int:
@@ -420,11 +444,23 @@ def pallas_data_term_cost_and_grad(
     dynamic_shifts: jnp.ndarray | None = None,
     shift_bound: float | None = None,
     channel_block: int = 0,
+    phase_io: bool = False,
 ):
     """Fused data term: ``(cost, grad)`` of ``s^2 sum_k ||D B M_k x - y_k||^2``.
 
     ``x``: ``[C, H, W]``; ``observations``: ``[K, C, H/s, W/s]``;
     ``static_shifts``: host array ``[K, 2]`` of (dx, dy).
+
+    ``phase_io=True`` takes/returns ``x``/``grad`` in polyphase plane form
+    ``[s*s, C, H/s, W/s]`` (plane ``pr*s + pc`` holds ``x[..., pr::s,
+    pc::s]``; see :func:`hr_to_planes`). The kernel works on phase planes
+    internally either way — plane IO skips the per-evaluation polyphase
+    transpose of ``x`` AND the gradient's inverse interleave (both strided
+    HBM passes over the full image), which measured as the dominant cost of
+    an evaluation once the kernel itself pipelines (the frame loop is free:
+    K=1 == K=4 eval time, experiments/tpu_kernel_ablation.py). Solvers keep
+    the CG state in plane space across whole inner solves and convert once
+    at the boundaries.
 
     When ``tv_constants`` (the per-pixel ``lambda * irls_weight`` array,
     shape of ``x``) is given, the anisotropic 2D TV term
@@ -459,7 +495,15 @@ def pallas_data_term_cost_and_grad(
     """
     if not interpret and jax.default_backend() == "cpu":
         interpret = True  # Mosaic is TPU-only; CPU (tests/dev) interprets.
-    c, h, w = x.shape
+    if phase_io:
+        s2_in, c, hl, wl = x.shape
+        if s2_in != int(scale) * int(scale):
+            raise ValueError(
+                f"phase_io x has {s2_in} planes, expected {scale * scale}."
+            )
+        h, w = hl * int(scale), wl * int(scale)
+    else:
+        c, h, w = x.shape
     k_frames = observations.shape[0]
     s = int(scale)
     dtype = x.dtype
@@ -569,12 +613,24 @@ def pallas_data_term_cost_and_grad(
     wp = _round_up(w, tile_c)
     n_ty, n_tx = hp // tile_r, wp // tile_c
     n_tiles = n_ty * n_tx
-    xp = jnp.pad(x, [(0, 0), (q_halo, q_halo + hp - h), (q_halo, q_halo + wp - w)])
-    # Polyphase split: [s*s, c, (hp+2Q)/s, (wp+2Q)/s], plane p = pr*s+pc holds
-    # x[..., pr::s, pc::s].
-    hq, wq = hp + 2 * q_halo, wp + 2 * q_halo
-    xph = xp.reshape(c, hq // s, s, wq // s, s).transpose(2, 4, 0, 1, 3)
-    xph = xph.reshape(s * s, c, hq // s, wq // s)
+    if phase_io:
+        # Already phase planes; Q is a multiple of s, so padding the HR
+        # image by Q == padding every plane by Q/s (phase assignment is
+        # unchanged). h, w are multiples of s (observations exist at h/s).
+        xph = jnp.pad(
+            x,
+            [(0, 0), (0, 0),
+             (qe, qe + (hp - h) // s), (qe, qe + (wp - w) // s)],
+        )
+    else:
+        xp = jnp.pad(
+            x, [(0, 0), (q_halo, q_halo + hp - h), (q_halo, q_halo + wp - w)]
+        )
+        # Polyphase split: [s*s, c, (hp+2Q)/s, (wp+2Q)/s], plane p = pr*s+pc
+        # holds x[..., pr::s, pc::s].
+        hq, wq = hp + 2 * q_halo, wp + 2 * q_halo
+        xph = xp.reshape(c, hq // s, s, wq // s, s).transpose(2, 4, 0, 1, 3)
+        xph = xph.reshape(s * s, c, hq // s, wq // s)
 
     pe_pad = pe
     yp = jnp.pad(
@@ -1101,12 +1157,20 @@ def pallas_data_term_cost_and_grad(
     )(*inputs)
 
     # ---- Host-side reassembly ----------------------------------------------
+    # The s^2 / 2*s^2 data scalings are applied inside the kernel (so the
+    # fused TV adds unscaled).
+    cost = jnp.sum(cost_tiles).astype(dtype)
+    if phase_io:
+        # [T, s*s, c, tlr, tlr] -> [s*s, c, hp/s, wp/s]: tile grid
+        # reassembly only — contiguous block moves, no phase interleave.
+        gp = grad_phases.reshape(n_ty, n_tx, s * s, c, tlr_r, tlr_c)
+        gp = gp.transpose(2, 3, 0, 4, 1, 5)
+        grad = gp.reshape(s * s, c, hp // s, wp // s)[:, :, : h // s, : w // s]
+        return cost, grad
     # [T, s*s, c, tlr, tlr] -> [c, hp, wp]: tiles back to a grid, phases
-    # interleaved by the inverse polyphase transpose. The s^2 / 2*s^2 data
-    # scalings are applied inside the kernel (so the fused TV adds unscaled).
+    # interleaved by the inverse polyphase transpose.
     gp = grad_phases.reshape(n_ty, n_tx, s, s, c, tlr_r, tlr_c)
     gp = gp.transpose(4, 0, 5, 2, 1, 6, 3)  # [c, n_ty, tlr, s, n_tx, tlr, s]
     grad_padded = gp.reshape(c, hp, wp)
-    cost = jnp.sum(cost_tiles).astype(dtype)
     grad = grad_padded[:, :h, :w]
     return cost, grad

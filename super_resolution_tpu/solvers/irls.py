@@ -44,6 +44,7 @@ def irls_solve_fused(
     regularizers,
     x0: jnp.ndarray,
     options: IRLSMapSolverOptions,
+    phase_converters=None,
 ):
     """The entire IRLS solve as ONE jittable computation.
 
@@ -66,9 +67,12 @@ def irls_solve_fused(
         # re-run it per objective evaluation (XLA does not hoist it —
         # measured at ~40% of solve time on TPU).
         prepared = value_and_grad_builder(weights)
-        return minimize(
+        # Optional (to_planes, from_planes): run the inner solve on
+        # polyphase planes, converting once per IRLS iteration (the
+        # reweighting needs image-space residuals).
+        result = minimize(
             prepared,
-            x,
+            phase_converters[0](x) if phase_converters else x,
             method=options.least_squares_solver,
             max_iterations=options.max_num_solver_iterations,
             gradient_norm_threshold=options.gradient_norm_threshold,
@@ -76,6 +80,9 @@ def irls_solve_fused(
             parameter_variation_threshold=options.parameter_variation_threshold,
             memory=options.num_lbfgs_hessian_corrections,
         )
+        if phase_converters:
+            result = result._replace(x=phase_converters[1](result.x))
+        return result
 
     if not regs:
         result = inner(x0, ())
@@ -344,6 +351,11 @@ class IRLSMapSolver(MapSolverBase):
             and opts.diff_mode == "analytic"
         )
 
+        use_pallas_here = (
+            opts.use_pallas_data_term and opts.diff_mode == "analytic"
+        )
+        phase_io = use_pallas_here and self._phase_io_ok(regs)
+
         def fused(x0, observations, shifts):
             vg = make_map_value_and_grad(
                 observations, shifts, kernel, scale, regs,
@@ -352,13 +364,18 @@ class IRLSMapSolver(MapSolverBase):
                     pallas_dynamic or opts.diff_mode != "analytic"
                     or not (opts.use_static_shifts or opts.use_pallas_data_term)
                 ) else static_shifts,
-                use_pallas=opts.use_pallas_data_term
-                and opts.diff_mode == "analytic",
+                use_pallas=use_pallas_here,
                 pallas_tile=opts.pallas_tile,
                 pallas_shift_bound=opts.pallas_shift_bound if pallas_dynamic else 0.0,
                 pallas_channel_block=opts.pallas_channel_block,
+                phase_io=phase_io,
             )
-            return irls_solve_fused(vg.prepare, regs, x0, opts)
+            converters = (
+                (vg.to_planes, vg.from_planes) if phase_io else None
+            )
+            return irls_solve_fused(
+                vg.prepare, regs, x0, opts, phase_converters=converters
+            )
 
         return jax.jit(fused)
 
@@ -483,15 +500,17 @@ class IRLSMapSolver(MapSolverBase):
 
                 mesh = self.mesh
                 bound = opts.pallas_shift_bound
+                phase_io = self._phase_io_ok(regs)
 
                 def inner_frame_sharded(x0, observations, shifts, weights):
                     vg = make_frame_sharded_pallas_vg(
                         mesh, observations, shifts, kernel, scale, regs,
                         shift_bound=bound, pallas_tile=opts.pallas_tile,
+                        phase_io=phase_io,
                     )
-                    return minimize(
+                    result = minimize(
                         vg.prepare(weights),
-                        x0,
+                        vg.to_planes(x0) if phase_io else x0,
                         method=opts.least_squares_solver,
                         max_iterations=opts.max_num_solver_iterations,
                         gradient_norm_threshold=opts.gradient_norm_threshold,
@@ -500,6 +519,9 @@ class IRLSMapSolver(MapSolverBase):
                         memory=opts.num_lbfgs_hessian_corrections,
                         log_iterations=self.verbose,
                     )
+                    if phase_io:
+                        result = result._replace(x=vg.from_planes(result.x))
+                    return result
 
                 return jax.jit(inner_frame_sharded)
             if band_eligible:
@@ -508,15 +530,17 @@ class IRLSMapSolver(MapSolverBase):
                 )
 
                 mesh = self.mesh
+                phase_io = self._phase_io_ok(regs)
 
                 def inner_sharded(x0, observations, shifts, weights):
                     vg = make_band_sharded_pallas_vg(
                         mesh, observations, static_shifts, kernel, scale,
                         regs, pallas_tile=opts.pallas_tile,
+                        phase_io=phase_io,
                     )
-                    return minimize(
+                    result = minimize(
                         vg.prepare(weights),
-                        x0,
+                        vg.to_planes(x0) if phase_io else x0,
                         method=opts.least_squares_solver,
                         max_iterations=opts.max_num_solver_iterations,
                         gradient_norm_threshold=opts.gradient_norm_threshold,
@@ -525,6 +549,9 @@ class IRLSMapSolver(MapSolverBase):
                         memory=opts.num_lbfgs_hessian_corrections,
                         log_iterations=self.verbose,
                     )
+                    if phase_io:
+                        result = result._replace(x=vg.from_planes(result.x))
+                    return result
 
                 return jax.jit(inner_sharded)
 
@@ -537,6 +564,12 @@ class IRLSMapSolver(MapSolverBase):
             and diff_mode == "analytic"
             and self.mesh is None
         )
+        use_pallas_here = (
+            opts.use_pallas_data_term
+            and diff_mode == "analytic"
+            and self.mesh is None
+        )
+        phase_io = use_pallas_here and self._phase_io_ok(regs)
 
         def inner(x0, observations, shifts, weights):
             vg_full = make_map_value_and_grad(
@@ -548,16 +581,21 @@ class IRLSMapSolver(MapSolverBase):
                 and self.mesh is None
                 and not pallas_dynamic
                 else None,
-                use_pallas=opts.use_pallas_data_term
-                and diff_mode == "analytic"
-                and self.mesh is None,
+                use_pallas=use_pallas_here,
                 pallas_tile=opts.pallas_tile,
                 pallas_shift_bound=opts.pallas_shift_bound if pallas_dynamic else 0.0,
                 pallas_channel_block=opts.pallas_channel_block,
+                phase_io=phase_io,
             )
-            return minimize(
+            # Phase-plane solver state: CG/line-search vector algebra is
+            # permutation-invariant, so running the WHOLE inner solve on
+            # polyphase planes (converting once at each boundary) is
+            # numerically identical and skips two strided full-image
+            # passes per objective evaluation.
+            x_start = vg_full.to_planes(x0) if phase_io else x0
+            result = minimize(
                 vg_full.prepare(weights),
-                x0,
+                x_start,
                 method=opts.least_squares_solver,
                 max_iterations=opts.max_num_solver_iterations,
                 gradient_norm_threshold=opts.gradient_norm_threshold,
@@ -566,8 +604,27 @@ class IRLSMapSolver(MapSolverBase):
                 memory=opts.num_lbfgs_hessian_corrections,
                 log_iterations=self.verbose,
             )
+            if phase_io:
+                result = result._replace(x=vg_full.from_planes(result.x))
+            return result
 
         return jax.jit(inner)
+
+    @staticmethod
+    def _phase_io_ok(regs) -> bool:
+        """Phase-plane IO needs every objective term inside the fused kernel:
+        zero regularizers, or exactly one fused TV/BTV term."""
+        from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
+        from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+
+        if not regs:
+            return True
+        if len(regs) != 1:
+            return False
+        reg, lam = regs[0]
+        return lam > 0.0 and isinstance(
+            reg, (TotalVariationRegularizer, BilateralTotalVariationRegularizer)
+        )
 
     def _run_irls_loop(self, inner, x0, observations, opts,
                        checkpoint_path=None, resume=False):

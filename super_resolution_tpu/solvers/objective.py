@@ -133,6 +133,7 @@ def make_map_value_and_grad(
     pallas_tile: int = 0,
     pallas_shift_bound: float = 0.0,
     pallas_channel_block: int = 0,
+    phase_io: bool = False,
 ) -> Callable:
     """Build ``value_and_grad(x, weights) -> (cost, grad)`` for the MAP objective.
 
@@ -184,6 +185,17 @@ def make_map_value_and_grad(
         and isinstance(regs[0][0], BilateralTotalVariationRegularizer)
         and regs[0][1] > 0.0
     )
+
+    # Phase-plane solver-state IO: only meaningful when EVERY term of the
+    # objective is computed by the fused kernel (unfused regularizers and
+    # the autodiff cost need image-space x).
+    if phase_io and not (
+        use_pallas and diff_mode == "analytic" and (not regs or fuse_tv or fuse_btv)
+    ):
+        raise ValueError(
+            "phase_io requires the fully fused analytic Pallas objective "
+            "(no regularizers, or one fused TV/BTV term)."
+        )
 
     if use_pallas:
         import numpy as _np
@@ -239,12 +251,13 @@ def make_map_value_and_grad(
                     x, observations, None, kernel_np, scale,
                     tile=pallas_tile, dynamic_shifts=shifts,
                     shift_bound=pallas_shift_bound,
-                    channel_block=pallas_channel_block, **fused_reg_kwargs,
+                    channel_block=pallas_channel_block, phase_io=phase_io,
+                    **fused_reg_kwargs,
                 )
             return pallas_data_term_cost_and_grad(
                 x, observations, static_shifts, kernel_np, scale,
                 tile=pallas_tile, channel_block=pallas_channel_block,
-                **fused_reg_kwargs,
+                phase_io=phase_io, **fused_reg_kwargs,
             )
         if static_shifts is not None:
             return data_term_cost_and_grad_static(
@@ -325,6 +338,15 @@ def make_map_value_and_grad(
         return lambda x: value_and_grad(x, weights)
 
     value_and_grad.prepare = prepare
+    value_and_grad.phase_io = phase_io
+    if phase_io:
+        from super_resolution_tpu.ops.pallas.degrade import (
+            hr_to_planes,
+            planes_to_hr,
+        )
+
+        value_and_grad.to_planes = lambda x: hr_to_planes(x, scale)
+        value_and_grad.from_planes = lambda p: planes_to_hr(p, scale)
     return value_and_grad
 
 

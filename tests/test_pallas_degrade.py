@@ -530,3 +530,98 @@ def test_choose_channel_block_keeps_single_band_tile():
     # Without blocking, 64 bands shrink the tile below the 1-band choice.
     shrunk = choose_tile(64, 4, 4, shifts, kernel, use_tv=True)
     assert shrunk[0] * shrunk[1] < target[0] * target[1]
+
+
+# ---------------------------------------------------------------------------
+# Phase-plane solver-state IO: planes in / planes out skips the per-eval
+# polyphase transposes; CG vector algebra is permutation-invariant, so the
+# full solve is numerically identical.
+# ---------------------------------------------------------------------------
+
+
+def test_phase_io_eval_matches_image_io():
+    from super_resolution_tpu.ops.pallas.degrade import hr_to_planes, planes_to_hr
+
+    x, obs, shifts_np, kernel = _problem(
+        [(0, 0), (1.5, -0.5)], scale=2, c=2, hw=(24, 28), seed=120
+    )
+    rng = np.random.default_rng(121)
+    constants = jnp.asarray(rng.random(x.shape), jnp.float32) * 0.05
+    for kwargs in (
+        {},
+        dict(tv_constants=constants),
+        dict(btv_constants=constants, btv_range=2, btv_decay=0.5),
+    ):
+        c_ref, g_ref = pallas_data_term_cost_and_grad(
+            x, obs, shifts_np, kernel, 2, tile=16, interpret=True, **kwargs
+        )
+        c_pl, g_pl = pallas_data_term_cost_and_grad(
+            hr_to_planes(x, 2), obs, shifts_np, kernel, 2, tile=16,
+            interpret=True, phase_io=True, **kwargs,
+        )
+        assert abs(float(c_pl) - float(c_ref)) < 1e-6 * max(1.0, abs(float(c_ref)))
+        assert matrices_equal(
+            np.asarray(planes_to_hr(g_pl, 2)), np.asarray(g_ref), 1e-6
+        )
+    # Round trip.
+    assert np.array_equal(
+        np.asarray(planes_to_hr(hr_to_planes(x, 2), 2)), np.asarray(x)
+    )
+
+
+def test_phase_io_full_solve_matches():
+    """A complete CG solve on phase-plane state matches the image-state
+    solve. The state is a permutation, so the only divergence source is
+    f32 reduction order in the line-search dots (last-ulp), amplified
+    through signum TV gradients over iterations — equality is asserted at
+    1e-5, far inside the 0.1 dB quality contract."""
+    from super_resolution_tpu.solvers import make_map_value_and_grad, minimize
+
+    x, obs, shifts_np, kernel = _problem(
+        [(0, 0), (1, 1), (0, 1), (1, 0)], scale=2, c=1, hw=(16, 16), seed=122
+    )
+    tv = __import__(
+        "super_resolution_tpu.ops.tv", fromlist=["TotalVariationRegularizer"]
+    ).TotalVariationRegularizer()
+    regs = [(tv, 0.01)]
+    weights = (jnp.ones(x.shape, x.dtype),)
+    x0 = jnp.zeros_like(x)
+
+    vg_img = make_map_value_and_grad(
+        obs, jnp.asarray(shifts_np), kernel, 2, regs, max_shift=3,
+        static_shifts=shifts_np, use_pallas=True, pallas_tile=16,
+    )
+    ref = minimize(vg_img.prepare(weights), x0, max_iterations=10)
+
+    vg_pl = make_map_value_and_grad(
+        obs, jnp.asarray(shifts_np), kernel, 2, regs, max_shift=3,
+        static_shifts=shifts_np, use_pallas=True, pallas_tile=16,
+        phase_io=True,
+    )
+    out = minimize(vg_pl.prepare(weights), vg_pl.to_planes(x0), max_iterations=10)
+    x_back = vg_pl.from_planes(out.x)
+    assert matrices_equal(np.asarray(x_back), np.asarray(ref.x), 1e-5)
+    assert abs(float(out.cost) - float(ref.cost)) < 1e-5 * max(1.0, abs(float(ref.cost)))
+
+
+def test_phase_io_rejects_unfusable():
+    from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
+    from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+    from super_resolution_tpu.solvers import make_map_value_and_grad
+
+    x, obs, shifts_np, kernel = _problem([(0, 0)], scale=2, c=1, hw=(16, 16))
+    two_regs = [
+        (TotalVariationRegularizer(), 0.01),
+        (BilateralTotalVariationRegularizer(2, 0.5), 0.01),
+    ]
+    with pytest.raises(ValueError, match="phase_io"):
+        make_map_value_and_grad(
+            obs, jnp.asarray(shifts_np), kernel, 2, two_regs,
+            static_shifts=shifts_np, use_pallas=True, pallas_tile=16,
+            phase_io=True,
+        )
+    with pytest.raises(ValueError, match="phase_io"):
+        make_map_value_and_grad(
+            obs, jnp.asarray(shifts_np), kernel, 2, [], use_pallas=False,
+            phase_io=True,
+        )
