@@ -445,6 +445,7 @@ def pallas_data_term_cost_and_grad(
     shift_bound: float | None = None,
     channel_block: int = 0,
     phase_io: bool = False,
+    spectral_halo: bool = False,
 ):
     """Fused data term: ``(cost, grad)`` of ``s^2 sum_k ||D B M_k x - y_k||^2``.
 
@@ -492,6 +493,19 @@ def pallas_data_term_cost_and_grad(
     makes estimated-motion solves, video sliding windows, and frame-sharded
     meshes reuse a single compiled executable (each new shift set would
     otherwise recompile for minutes through a remote-compile toolchain).
+
+    **Spectral-halo mode** (``spectral_halo=True``, requires ``tv_use_3d``):
+    the LAST channel of ``x`` is a read-only one-band halo owned by a
+    neighboring band shard (``parallel/pallas_sharded.py``). It is excluded
+    from the data term (residual masked in-kernel), and the caller must zero
+    its TV constants so its own TV terms vanish; the real last local band
+    still computes its spectral forward difference against it, and the
+    returned gradient's halo channel holds EXACTLY the cross-shard 3D-TV
+    contribution (the ``+g*sign(dz)`` term flowing into the halo band,
+    ``tv_regularizer.cpp:90-106``) for the owner shard to add to its first
+    band. The caller makes the halo a copy of the last real band on the
+    shard holding the global last band, so ``dz == 0`` reproduces the
+    reference's zero forward difference there.
     """
     if not interpret and jax.default_backend() == "cpu":
         interpret = True  # Mosaic is TPU-only; CPU (tests/dev) interprets.
@@ -519,6 +533,11 @@ def pallas_data_term_cost_and_grad(
     if tv_use_3d and cb != c:
         raise ValueError("3D spectral TV couples bands; channel_block must "
                          "cover all channels (or be 0).")
+    if spectral_halo and not tv_use_3d:
+        raise ValueError("spectral_halo only makes sense with tv_use_3d "
+                         "(the halo band exists for the spectral coupling).")
+    if spectral_halo and c < 2:
+        raise ValueError("spectral_halo needs >= 1 real band + the halo.")
     n_cb = c // cb
     dynamic = dynamic_shifts is not None
     if dynamic:
@@ -716,6 +735,13 @@ def pallas_data_term_cost_and_grad(
         mask_t = mw_ref[0]
         grad_out = [[None for _ in range(s)] for _ in range(s)]
         cost_acc = jnp.zeros((), jnp.float32)
+        if spectral_halo:
+            # The halo band (channel cb-1) is read-only: zeroing its residual
+            # removes both its data cost and its data-term gradient (the
+            # adjoint is applied to the masked residual). Its TV terms vanish
+            # via the caller's zeroed constants.
+            hband = jax.lax.broadcasted_iota(jnp.int32, (cb, ext_r, ext_c), 0)
+            halo_data_mask = (hband < cb - 1).astype(dtype)
 
         if dynamic:
             ncand = len(q_cands)
@@ -854,6 +880,8 @@ def pallas_data_term_cost_and_grad(
                 z = term if z is None else z + term
 
             r = (z - yw_ref[0, k]) * mask_t[None]
+            if spectral_halo:
+                r = r * halo_data_mask
             r_center = r[:, pe : pe + tlr_r, pe : pe + tlr_c]
             cost_acc = cost_acc + jnp.sum((r_center * r_center).astype(jnp.float32))
 

@@ -14,6 +14,14 @@ therefore needs exactly ONE collective per objective evaluation — a scalar
 each shard. The motion shifts are shared by every shard, so the kernel's
 host-known tap tables are identical on all devices (SPMD-safe).
 
+3D spectral TV adds exactly TWO more (one-band, nearest-neighbor ring)
+collectives per evaluation: a ``ppermute`` bringing each shard the next
+shard's first band as a read-only halo channel (the kernel masks it out of
+the data term; its TV constants are zero-padded so its own TV terms vanish),
+and a reverse ``ppermute`` delivering the cross-shard gradient contribution
+the kernel accumulates in that halo channel back to its owner's first band.
+Both ride the ICI ring — no all-gather, no fallback to the traced path.
+
 Frame-axis sharding additionally needs per-device shifts under one SPMD
 program — the shift-generic kernel (runtime SMEM tap tables) provides it;
 see :func:`make_frame_sharded_pallas_vg`. The trace-time-specialized kernel
@@ -51,6 +59,42 @@ def _band_size(mesh: Mesh) -> int:
     return dict(zip(mesh.axis_names, mesh.devices.shape))[BAND_AXIS]
 
 
+def _spectral_halo_extend(x_local, n_band: int, ch_axis: int):
+    """Append the one-band spectral halo for 3D TV over a band-sharded stack:
+    shard ``i`` receives shard ``i+1``'s FIRST band over the band ring
+    (``ppermute``); the shard holding the global last band instead duplicates
+    its own last band, so ``dz == 0`` there — the reference's zero forward
+    difference at the final band (``tv_regularizer.cpp:58-69``)."""
+    first = lax.slice_in_dim(x_local, 0, 1, axis=ch_axis)
+    nxt = lax.ppermute(
+        first, BAND_AXIS, [((i + 1) % n_band, i) for i in range(n_band)]
+    )
+    c_loc = x_local.shape[ch_axis]
+    last = lax.slice_in_dim(x_local, c_loc - 1, c_loc, axis=ch_axis)
+    is_last = lax.axis_index(BAND_AXIS) == n_band - 1
+    halo = jnp.where(is_last, last, nxt)
+    return jnp.concatenate([x_local, halo], axis=ch_axis)
+
+
+def _spectral_halo_return(grad_ext, n_band: int, ch_axis: int):
+    """Route the kernel's halo-channel gradient (the cross-shard 3D-TV
+    contribution into the halo band) back to its owner and add it onto the
+    owner's first band. The last shard's cross term is exactly zero by the
+    ``dz == 0`` construction in :func:`_spectral_halo_extend`, so shard 0
+    (which receives it around the ring) adds nothing."""
+    c_loc = grad_ext.shape[ch_axis] - 1
+    cross = lax.slice_in_dim(grad_ext, c_loc, c_loc + 1, axis=ch_axis)
+    recv = lax.ppermute(
+        cross, BAND_AXIS, [(i, (i + 1) % n_band) for i in range(n_band)]
+    )
+    grad = lax.slice_in_dim(grad_ext, 0, c_loc, axis=ch_axis)
+    g0 = lax.slice_in_dim(grad, 0, 1, axis=ch_axis) + recv
+    if c_loc == 1:
+        return g0
+    rest = lax.slice_in_dim(grad, 1, c_loc, axis=ch_axis)
+    return jnp.concatenate([g0, rest], axis=ch_axis)
+
+
 def make_band_sharded_pallas_vg(
     mesh: Mesh,
     observations: jnp.ndarray,
@@ -66,9 +110,10 @@ def make_band_sharded_pallas_vg(
     evaluation is one fused Pallas kernel launch per device.
 
     ``observations``: ``[K, C, h, w]`` with C divisible by the band-axis
-    size; ``static_shifts``: host-known ``[K, 2]``. A single 2D TV or BTV
-    regularizer is fused into the kernel; 3D TV couples bands and is
-    rejected. Empty ``regularizers`` gives the bare data term.
+    size; ``static_shifts``: host-known ``[K, 2]``. A single TV (2D or 3D
+    spectral) or BTV regularizer is fused into the kernel; 3D TV runs with
+    the one-band ppermute halo (see module docstring). Empty
+    ``regularizers`` gives the bare data term.
 
     ``phase_io=True``: the solver state is polyphase planes
     ``[s*s, C, H/s, W/s]`` sharded ``P(None, band, None, None)`` — same
@@ -101,10 +146,12 @@ def make_band_sharded_pallas_vg(
         raise ValueError("The fused kernel supports at most one regularizer.")
     fuse_tv = bool(regs) and isinstance(regs[0][0], TotalVariationRegularizer)
     fuse_btv = bool(regs) and isinstance(regs[0][0], BilateralTotalVariationRegularizer)
-    if fuse_tv and regs[0][0].use_3d:
-        raise ValueError(
-            "3D spectral TV couples adjacent bands and cannot be band-sharded."
-        )
+    # 3D spectral TV couples adjacent bands: each shard carries a one-band
+    # ppermute halo (x of the next shard's first band in, the cross-shard
+    # gradient contribution back out) so the fused kernel still runs
+    # per-shard with exactly THREE collectives per evaluation (cost psum +
+    # two one-band ppermutes) instead of falling back to the traced path.
+    fuse_tv3d = fuse_tv and regs[0][0].use_3d
     if regs and not (fuse_tv or fuse_btv):
         raise ValueError(f"Unsupported regularizer type: {type(regs[0][0])!r}")
 
@@ -113,11 +160,22 @@ def make_band_sharded_pallas_vg(
     if c % n_band:
         raise ValueError(f"{c} channels not divisible by band axis size {n_band}.")
     c_local = c // n_band
+    need_halo = fuse_tv3d and n_band > 1
+    c_kernel = c_local + (1 if need_halo else 0)
     static_shifts = np.asarray(static_shifts)
     kernel_np = None if blur_kernel is None else np.asarray(blur_kernel)
     channel_block = 0
     if not (isinstance(pallas_tile, (tuple, list)) or pallas_tile > 0):
-        if c_local > 1:
+        if fuse_tv3d:
+            # The kernel requires the full (local) stack per grid step for
+            # spectral coupling — no channel blocking; size for the halo.
+            pallas_tile = choose_tile(
+                c_kernel, scale, k, static_shifts, kernel_np,
+                use_tv=True, use_btv=False, btv_range=0,
+                image_hw=(observations.shape[2] * scale,
+                          observations.shape[3] * scale),
+            )
+        elif c_local > 1:
             channel_block, pallas_tile = choose_channel_block(
                 c_local, scale, k, static_shifts, kernel_np,
                 use_tv=fuse_tv, use_btv=fuse_btv,
@@ -150,10 +208,28 @@ def make_band_sharded_pallas_vg(
         # The one collective per evaluation: scalar cost over the band axis.
         return lax.psum(cost, BAND_AXIS), grad
 
+    ch_ax = 1 if phase_io else 0
+
+    def _tv3d_halo_call(xl, ol, **tv_kwargs):
+        xe = _spectral_halo_extend(xl, n_band, ch_ax)
+        oe = jnp.pad(ol, [(0, 0), (0, 1), (0, 0), (0, 0)])
+        cost, grad = _kernel(xe, oe, tv_use_3d=True, spectral_halo=True,
+                             **tv_kwargs)
+        return cost, _spectral_halo_return(grad, n_band, ch_ax)
+
     def value_and_grad(x, weights=()):
         weights = tuple(weights)
-        if fuse_tv:
-            local = lambda xl, ol, wl: _kernel(xl, ol, tv_constants=lam * wl)
+        if fuse_tv and need_halo:
+            local = lambda xl, ol, wl: _tv3d_halo_call(
+                xl, ol,
+                tv_constants=jnp.pad(lam * wl, [(0, 1), (0, 0), (0, 0)]),
+            )
+            specs = (x_spec, obs_spec, w_spec)
+            args = (x, observations, weights[0])
+        elif fuse_tv:
+            local = lambda xl, ol, wl: _kernel(
+                xl, ol, tv_constants=lam * wl, tv_use_3d=fuse_tv3d
+            )
             specs = (x_spec, obs_spec, w_spec)
             args = (x, observations, weights[0])
         elif fuse_btv:
@@ -178,14 +254,25 @@ def make_band_sharded_pallas_vg(
         inner solve (per shard) — the same hoist the single-chip path does."""
         weights = tuple(weights)
         if fuse_tv:
+            halo_pad = [(0, 1), (0, 0), (0, 0)] if need_halo else None
             pack = jax.shard_map(
-                lambda wl: pack_tv_constants(lam * wl, scale, pallas_tile),
+                lambda wl: pack_tv_constants(
+                    jnp.pad(lam * wl, halo_pad) if need_halo else lam * wl,
+                    scale, pallas_tile,
+                ),
                 mesh=mesh, in_specs=(w_spec,),
                 out_specs=P(None, None, BAND_AXIS, None, None),
                 check_vma=False,
             )
             packed = pack(weights[0])
-            local = lambda xl, ol, pl_: _kernel(xl, ol, tv_constants_packed=pl_)
+            if need_halo:
+                local = lambda xl, ol, pl_: _tv3d_halo_call(
+                    xl, ol, tv_constants_packed=pl_
+                )
+            else:
+                local = lambda xl, ol, pl_: _kernel(
+                    xl, ol, tv_constants_packed=pl_, tv_use_3d=fuse_tv3d
+                )
             pspec = P(None, None, BAND_AXIS, None, None)
             return lambda x: jax.shard_map(
                 local, mesh=mesh, in_specs=(x_spec, obs_spec, pspec),
@@ -279,8 +366,10 @@ def make_frame_sharded_pallas_vg(
         raise ValueError("The fused kernel supports at most one regularizer.")
     fuse_tv = bool(regs) and isinstance(regs[0][0], TotalVariationRegularizer)
     fuse_btv = bool(regs) and isinstance(regs[0][0], BilateralTotalVariationRegularizer)
-    if fuse_tv and regs[0][0].use_3d:
-        raise ValueError("3D spectral TV couples bands; not band-shardable.")
+    # 3D spectral TV: no halo needed across the frame axis (x is replicated
+    # there); across a band axis of size > 1 the same one-band ppermute halo
+    # as the band-only builder applies.
+    fuse_tv3d = fuse_tv and regs[0][0].use_3d
     if regs and not (fuse_tv or fuse_btv):
         raise ValueError(f"Unsupported regularizer type: {type(regs[0][0])!r}")
 
@@ -291,10 +380,20 @@ def make_frame_sharded_pallas_vg(
         raise ValueError(f"{c} channels not divisible by band axis {band_size}.")
     k_local = k // frame_size
     c_local = c // band_size
+    need_halo = fuse_tv3d and band_size > 1
+    c_kernel = c_local + (1 if need_halo else 0)
     kernel_np = None if blur_kernel is None else np.asarray(blur_kernel)
     channel_block = 0
     if not (isinstance(pallas_tile, (tuple, list)) or pallas_tile > 0):
-        if c_local > 1:
+        if fuse_tv3d:
+            pallas_tile = choose_tile(
+                c_kernel, scale, k_local, None, kernel_np,
+                use_tv=True, use_btv=False, btv_range=0,
+                shift_bound=shift_bound,
+                image_hw=(observations.shape[2] * scale,
+                          observations.shape[3] * scale),
+            )
+        elif c_local > 1:
             channel_block, pallas_tile = choose_channel_block(
                 c_local, scale, k_local, None, kernel_np,
                 use_tv=fuse_tv, use_btv=fuse_btv,
@@ -337,10 +436,31 @@ def make_frame_sharded_pallas_vg(
         axes = (FRAME_AXIS,) + ((band,) if band else ())
         return lax.psum(cost, axes), lax.psum(grad, FRAME_AXIS)
 
+    ch_ax = 1 if phase_io else 0
+
+    def _tv3d_halo_call(xl, ol, sl, **tv_kwargs):
+        xe = _spectral_halo_extend(xl, band_size, ch_ax)
+        oe = jnp.pad(ol, [(0, 0), (0, 1), (0, 0), (0, 0)])
+        cost, grad = _kernel(xe, oe, sl, tv_use_3d=True, spectral_halo=True,
+                             **tv_kwargs)
+        # _kernel already psum'd grad over `frame` (each frame row carries
+        # lam/frame_size of the TV term, so the cross channel sums back to
+        # one copy); route it over the band ring afterwards.
+        return cost, _spectral_halo_return(grad, band_size, ch_ax)
+
     def value_and_grad(x, weights=()):
         weights = tuple(weights)
-        if fuse_tv:
-            local = lambda xl, ol, sl, wl: _kernel(xl, ol, sl, tv_constants=lam * wl)
+        if fuse_tv and need_halo:
+            local = lambda xl, ol, sl, wl: _tv3d_halo_call(
+                xl, ol, sl,
+                tv_constants=jnp.pad(lam * wl, [(0, 1), (0, 0), (0, 0)]),
+            )
+            specs = (x_spec, obs_spec, shifts_spec, w_spec)
+            args = (x, observations, shifts, weights[0])
+        elif fuse_tv:
+            local = lambda xl, ol, sl, wl: _kernel(
+                xl, ol, sl, tv_constants=lam * wl, tv_use_3d=fuse_tv3d
+            )
             specs = (x_spec, obs_spec, shifts_spec, w_spec)
             args = (x, observations, shifts, weights[0])
         elif fuse_btv:
@@ -364,13 +484,24 @@ def make_frame_sharded_pallas_vg(
         weights = tuple(weights)
         if fuse_tv:
             pack = jax.shard_map(
-                lambda wl: pack_tv_constants(lam * wl, scale, pallas_tile),
+                lambda wl: pack_tv_constants(
+                    jnp.pad(lam * wl, [(0, 1), (0, 0), (0, 0)])
+                    if need_halo else lam * wl,
+                    scale, pallas_tile,
+                ),
                 mesh=mesh, in_specs=(w_spec,),
                 out_specs=P(None, None, band, None, None),
                 check_vma=False,
             )
             packed = pack(weights[0])
-            local = lambda xl, ol, sl, pk: _kernel(xl, ol, sl, tv_constants_packed=pk)
+            if need_halo:
+                local = lambda xl, ol, sl, pk: _tv3d_halo_call(
+                    xl, ol, sl, tv_constants_packed=pk
+                )
+            else:
+                local = lambda xl, ol, sl, pk: _kernel(
+                    xl, ol, sl, tv_constants_packed=pk, tv_use_3d=fuse_tv3d
+                )
             pspec = P(None, None, band, None, None)
             return lambda x: jax.shard_map(
                 local, mesh=mesh,

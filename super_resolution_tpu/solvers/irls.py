@@ -467,13 +467,16 @@ class IRLSMapSolver(MapSolverBase):
 
             axis_sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
             frame_size = axis_sizes.get(FRAME_AXIS, 1)
+            # 3D spectral TV is band-shardable since round 2: the builders
+            # carry a one-band ppermute halo across the band ring
+            # (parallel/pallas_sharded.py), so it no longer forces the
+            # traced fallback.
             regs_ok = (
                 len(regs) <= 1
                 and all(
                     isinstance(
                         r, (TotalVariationRegularizer, BilateralTotalVariationRegularizer)
                     )
-                    and not getattr(r, "use_3d", False)
                     for r, _ in regs
                 )
             )

@@ -42,16 +42,21 @@ def _problem(c=8, hw=(24, 24), scale=2, seed=70):
     return x, obs, seq.as_array(), kernel
 
 
-@pytest.mark.parametrize("reg_kind", ["none", "tv", "btv"])
+def _regs_for(reg_kind):
+    if reg_kind == "tv":
+        return [(TotalVariationRegularizer(), 0.01)]
+    if reg_kind == "tv3d":
+        return [(TotalVariationRegularizer(use_3d_total_variation=True), 0.01)]
+    if reg_kind == "btv":
+        return [(BilateralTotalVariationRegularizer(2, 0.5), 0.01)]
+    return []
+
+
+@pytest.mark.parametrize("reg_kind", ["none", "tv", "tv3d", "btv"])
 def test_band_sharded_vg_matches_single_device(reg_kind):
     x, obs, shifts_np, kernel = _problem()
     mesh = make_mesh({BAND_AXIS: 4}, jax.devices()[:4])
-    if reg_kind == "tv":
-        regs = [(TotalVariationRegularizer(), 0.01)]
-    elif reg_kind == "btv":
-        regs = [(BilateralTotalVariationRegularizer(2, 0.5), 0.01)]
-    else:
-        regs = []
+    regs = _regs_for(reg_kind)
     weights = (
         (jnp.asarray(np.random.default_rng(71).random(x.shape), jnp.float32),)
         if regs
@@ -73,6 +78,17 @@ def test_band_sharded_vg_matches_single_device(reg_kind):
     c_p, g_p = vg_sharded.prepare(weights)(x)
     assert abs(float(c_p) - float(c_s)) < 1e-5 * max(1.0, abs(float(c_s)))
     assert matrices_equal(np.asarray(g_p), np.asarray(g_s), 1e-6)
+    # Phase-plane solver-state IO (the production state representation):
+    # same cost; the gradient round-trips through plane space. For 3D TV
+    # this exercises the band halo on the plane channel axis.
+    vg_pl = make_band_sharded_pallas_vg(
+        mesh, obs, shifts_np, kernel, 2, regs, phase_io=True
+    )
+    c_pp, g_pp = vg_pl.prepare(weights)(vg_pl.to_planes(x))
+    assert abs(float(c_pp) - float(c_s)) < 1e-5 * max(1.0, abs(float(c_s)))
+    assert matrices_equal(
+        np.asarray(vg_pl.from_planes(g_pp)), np.asarray(g_s), 1e-5
+    )
 
 
 def test_band_sharded_solver_matches_unsharded():
@@ -115,10 +131,6 @@ def test_band_sharded_rejects_incompatible_configs():
     mesh_fb = make_mesh({FRAME_AXIS: 2, BAND_AXIS: 2}, jax.devices()[:4])
     with pytest.raises(ValueError, match="Frame-axis"):
         make_band_sharded_pallas_vg(mesh_fb, obs, shifts_np, kernel, 2, [])
-    mesh = make_mesh({BAND_AXIS: 4}, jax.devices()[:4])
-    tv3 = TotalVariationRegularizer(use_3d_total_variation=True)
-    with pytest.raises(ValueError, match="3D"):
-        make_band_sharded_pallas_vg(mesh, obs, shifts_np, kernel, 2, [(tv3, 0.01)])
     with pytest.raises(ValueError, match="divisible"):
         make_band_sharded_pallas_vg(
             make_mesh({BAND_AXIS: 3}, jax.devices()[:3]), obs, shifts_np, kernel, 2, []
@@ -159,13 +171,55 @@ def test_irls_solver_band_mesh_uses_pallas_path():
     assert p_sharded > 12.0  # random-texture gt; parity above is the real check
 
 
+def test_irls_solver_band_mesh_3d_tv_matches_single():
+    """3D spectral TV (the hyperspectral regularizer, tv_regularizer.cpp:
+    58-69) on a band mesh: IRLSMapSolver routes through the fused kernel
+    with the one-band ppermute halo and matches the single-device solve."""
+    from super_resolution_tpu.evaluation import psnr
+    from super_resolution_tpu.models import ImageModel, ImageModelParameters
+    from super_resolution_tpu.solvers import IRLSMapSolver, IRLSMapSolverOptions
+
+    rng = np.random.default_rng(77)
+    base = rng.random((1, 20, 20))
+    # Spectrally correlated bands: 3D TV's dz terms are non-trivial.
+    gt = jnp.asarray(
+        np.concatenate([base + 0.08 * rng.random((1, 20, 20)) for _ in range(8)]),
+        jnp.float32,
+    )
+    seq = MotionShiftSequence([(0, 0), (1, 1), (0, 1), (1, 0)])
+    model = ImageModel.create(
+        ImageModelParameters(
+            scale=2, blur_radius=3, blur_sigma=1.0, motion_sequence=seq
+        )
+    )
+    obs = [np.asarray(model.apply(gt, k)) for k in range(4)]
+    mesh = make_mesh({BAND_AXIS: 4}, jax.devices()[:4])
+    opts = IRLSMapSolverOptions(
+        max_num_irls_iterations=2, max_num_solver_iterations=20,
+        use_pallas_data_term=True,
+    )
+    results = {}
+    for label, m in (("single", None), ("band-sharded", mesh)):
+        solver = IRLSMapSolver(opts, model, obs, mesh=m)
+        solver.add_regularizer(
+            TotalVariationRegularizer(use_3d_total_variation=True), 0.002
+        )
+        results[label] = np.asarray(solver.solve(jnp.zeros_like(gt)))
+    p_single = float(psnr(results["single"], np.asarray(gt)))
+    p_sharded = float(psnr(results["band-sharded"], np.asarray(gt)))
+    assert abs(p_single - p_sharded) < 0.2, (p_single, p_sharded)
+    assert p_sharded > 12.0
+
+
 @pytest.mark.parametrize(
     "mesh_axes,reg_kind",
     [
         ({FRAME_AXIS: 4}, "tv"),
         ({FRAME_AXIS: 4}, "btv"),
         ({FRAME_AXIS: 4}, "none"),
+        ({FRAME_AXIS: 4}, "tv3d"),  # replicated bands: no halo needed
         ({FRAME_AXIS: 2, BAND_AXIS: 4}, "tv"),
+        ({FRAME_AXIS: 2, BAND_AXIS: 4}, "tv3d"),  # band halo under frame psum
     ],
 )
 def test_frame_sharded_vg_matches_single_device(mesh_axes, reg_kind):
@@ -187,12 +241,7 @@ def test_frame_sharded_vg_matches_single_device(mesh_axes, reg_kind):
     )
     n_dev = int(np.prod(list(mesh_axes.values())))
     mesh = make_mesh(mesh_axes, jax.devices()[:n_dev])
-    if reg_kind == "tv":
-        regs = [(TotalVariationRegularizer(), 0.01)]
-    elif reg_kind == "btv":
-        regs = [(BilateralTotalVariationRegularizer(2, 0.5), 0.01)]
-    else:
-        regs = []
+    regs = _regs_for(reg_kind)
     weights = (
         (jnp.asarray(np.random.default_rng(73).random(x.shape), jnp.float32),)
         if regs
