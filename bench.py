@@ -44,8 +44,12 @@ def _dallas_problem(dtype, scale=4, shifts=((0, 0), (1, 1), (0, 1), (1, 0)),
 
 
 def _solve_throughput(observations, shifts, kernel, scale, regs, iters,
-                      pallas_tile, hr_shape, **vg_kwargs):
-    """Mpixel-iters/s of a fixed-iteration fused-Pallas CG solve."""
+                      pallas_tile, hr_shape, dynamic_bound=None, **vg_kwargs):
+    """Mpixel-iters/s of a fixed-iteration fused-Pallas CG solve.
+
+    ``dynamic_bound``: route through the SHIFT-GENERIC kernel (runtime SMEM
+    tap tables, one executable per |shift| bound) instead of the
+    trace-specialized one — the production path for estimated motion."""
     import jax
     import jax.numpy as jnp
 
@@ -54,14 +58,20 @@ def _solve_throughput(observations, shifts, kernel, scale, regs, iters,
     use_pallas = jax.default_backend() != "cpu"
     weights = (jnp.ones(hr_shape, observations.dtype),) if regs else ()
     static_shifts = np.asarray(shifts)
+    max_shift = max(3, int(np.ceil(np.max(np.abs(static_shifts)))) + 1)
 
     @jax.jit
     def solve(x0, observations, shifts, weights):
         vg = make_map_value_and_grad(
-            observations, shifts, kernel, scale, regs, max_shift=3,
-            static_shifts=static_shifts if use_pallas else None,
+            observations, shifts, kernel, scale, regs, max_shift=max_shift,
+            static_shifts=(
+                static_shifts if use_pallas and dynamic_bound is None else None
+            ),
             use_pallas=use_pallas,
             pallas_tile=pallas_tile if use_pallas else 0,
+            pallas_shift_bound=(
+                dynamic_bound if use_pallas and dynamic_bound is not None else 0.0
+            ),
             # Production solver state: polyphase planes across the whole CG
             # solve (converted once at each boundary; numerically identical).
             phase_io=use_pallas,
@@ -137,6 +147,49 @@ def bench_map_btv(dtype=np.float32, iters=50):
     }
 
 
+def bench_map_btv_estimated(dtype=np.float32, iters=50):
+    """BASELINE config 3 VERBATIM: RGB dallas, 4x, BTV IRLS geometry, with
+    *estimated* subpixel registration — phase-correlation registration of
+    the LR frames (LR-px shifts x scale = HR-px motion), then the
+    SHIFT-GENERIC fused kernel (runtime SMEM tap tables) consumes the
+    fractional estimates without recompiling. This is the production
+    estimated-motion path end to end (registration semantics:
+    motion_module.cpp:29-51; solver: test_map_solver.cpp:369-481)."""
+    import jax.numpy as jnp
+
+    from super_resolution_tpu.motion.registration import translational_registration
+    from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
+    from super_resolution_tpu.ops.pallas.degrade import shift_bound_bucket
+
+    scale = 4
+    true_shifts = ((0, 0), (1.5, 0.5), (-0.75, 1.25), (0.5, -1.5))
+    gt, observations, _, kernel = _dallas_problem(
+        dtype, scale=scale, shifts=true_shifts, rgb=True
+    )
+    t_reg = time.perf_counter()
+    est = translational_registration([np.asarray(observations[k]) for k in range(4)])
+    est_hr = np.asarray(
+        [[s.dx * scale, s.dy * scale] for s in est], np.float64
+    )
+    t_reg = time.perf_counter() - t_reg
+    bound = float(shift_bound_bucket(float(np.max(np.abs(est_hr)))))
+    regs = [(BilateralTotalVariationRegularizer(3, 0.5), 0.01)]
+    value = _solve_throughput(
+        observations, jnp.asarray(est_hr, dtype), kernel, scale, regs, iters,
+        0, gt.shape, dynamic_bound=bound,
+    )
+    err = float(np.max(np.abs(est_hr - np.asarray(true_shifts))))
+    return {
+        "metric": "map_btv_estimated_motion_throughput_4x_dallas_rgb",
+        "value": round(value, 3),
+        "unit": "Mpixel-iters/s/chip",
+        "vs_baseline": round(value / REFERENCE_MPIX_ITERS, 3),
+        "registration_seconds": round(t_reg, 3),
+        "registration_max_err_hr_px": round(err, 4),
+        "shift_bound": bound,
+    }
+
+
 def bench_hyperspectral(dtype=np.float32, iters=20, bands=64):
     """BASELINE config 4 geometry on one chip: 64-band MAP solve with the
     channel-blocked fused kernel (per-channel solving semantics,
@@ -172,6 +225,95 @@ def bench_hyperspectral(dtype=np.float32, iters=20, bands=64):
         "value": round(value, 3),
         "unit": "Mpixel-iters/s/chip",
         "vs_baseline": round(value / REFERENCE_MPIX_ITERS, 3),
+    }
+
+
+def bench_hyperspectral_pca(dtype=np.float32, iters=20, bands=64):
+    """BASELINE config 4 VERBATIM: ENVI data with spectral PCA.
+
+    The reference's example ENVI cube is a 9x5x10 unit-test fixture, so a
+    production-scale synthetic (64 bands, 256^2, low spectral rank like real
+    HSI) is WRITTEN through spectral/envi.py, LOADED back through
+    HyperspectralDataLoader (native streaming reader when available), PCA-
+    projected (spectral_pca.cpp:165-189 semantics), solved channel-blocked
+    in PCA space, and reconstructed. I/O + PCA time are reported separately;
+    the throughput metric counts the solved PCA-space elements."""
+    import os
+    import tempfile
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from super_resolution_tpu.models import ImageModel, ImageModelParameters
+    from super_resolution_tpu.motion import MotionShiftSequence
+    from super_resolution_tpu.spectral import HyperspectralDataLoader, SpectralPCA
+
+    base = cv2.imread("/root/reference/test_data/dallas_half.jpg",
+                      cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
+    # Low-spectral-rank cube like real HSI: 4 spatial abundance maps (image
+    # patches) mixed by smooth spectral signatures + small iid noise.
+    h = w = 256
+    maps = np.stack([
+        base[:h, :w], base[64 : 64 + h, 32 : 32 + w],
+        base[16 : 16 + h, 128 : 128 + w], base[96 : 96 + h, 64 : 64 + w],
+    ])  # [4, H, W]
+    lam = np.linspace(0.0, 1.0, bands)[:, None]
+    sigs = np.stack([
+        np.exp(-((lam - mu) ** 2) / (2 * 0.18**2)) for mu in (0.15, 0.4, 0.65, 0.9)
+    ], axis=-1)[:, 0, :]  # [bands, 4]
+    rng = np.random.default_rng(7)
+    cube = (sigs @ maps.reshape(4, -1)).reshape(bands, h, w)
+    cube += 0.002 * rng.standard_normal(cube.shape)
+    cube = cube.astype(np.float32)
+
+    tmp = tempfile.mkdtemp(prefix="srtpu_envi_")
+    path = os.path.join(tmp, "bench_cube")
+    t_io = time.perf_counter()
+    HyperspectralDataLoader(path).save_image(cube)
+    loader = HyperspectralDataLoader(path + ".config")
+    loader.load_image_from_envi_file()
+    gt = jnp.asarray(np.asarray(loader.get_image().array), dtype)
+    t_io = time.perf_counter() - t_io
+
+    seq = MotionShiftSequence([(0, 0), (1, 1), (0, 1), (1, 0)])
+    scale = 2
+    model = ImageModel.create(
+        ImageModelParameters(scale=scale, blur_radius=3, blur_sigma=1.5,
+                             motion_sequence=seq)
+    )
+    observations = jnp.stack([model.apply(gt, k) for k in range(4)])
+    shifts = jnp.asarray(seq.as_array(), dtype)
+    kernel = jnp.asarray(model.blur_operator.kernel, dtype)
+
+    # PCA trained from the LR observations (what a real pipeline has),
+    # 99.9% retained variance (test_spectral_pca.cpp:104-107 semantics).
+    t_pca = time.perf_counter()
+    pca = SpectralPCA([np.asarray(o) for o in observations],
+                      retained_variance=0.999)
+    k_pca = pca.num_pca_bands
+    obs_pca = jnp.stack([pca.project(observations[k]) for k in range(4)])
+    t_pca = time.perf_counter() - t_pca
+
+    hr_pca = (k_pca, h, w)
+    value = _solve_throughput(
+        obs_pca, shifts, kernel, scale, _tv_regs(), iters, 0, hr_pca
+    )
+    # Reconstruct to the full spectral cube (correctness anchor, untimed —
+    # one matmul) and sanity-check against the ground truth.
+    from super_resolution_tpu.evaluation.metrics import psnr
+
+    recon = pca.back_project(pca.project(gt))
+    recon_psnr = float(psnr(np.asarray(recon), np.asarray(gt)))
+    return {
+        "metric": f"map_hyperspectral_pca_{bands}band_throughput",
+        "value": round(value, 3),
+        "unit": "Mpixel-iters/s/chip",
+        "vs_baseline": round(value / REFERENCE_MPIX_ITERS, 3),
+        "num_pca_bands": int(k_pca),
+        "envi_io_seconds": round(t_io, 3),
+        "pca_seconds": round(t_pca, 3),
+        "pca_roundtrip_psnr_db": round(recon_psnr, 2),
     }
 
 
@@ -211,43 +353,41 @@ def bench_shift_add(dtype=np.float32):
 
 
 def bench_wavelet(dtype=np.float32, iters=25):
-    """BASELINE config 5 single-chip element: wavelet-domain MAP solve — 4
-    subband solves at half resolution (super_resolution.cpp:201-267
-    semantics), fused-TV kernel per subband."""
+    """BASELINE config 5 single-chip element: wavelet-domain MAP solve.
+
+    The reference loops the four subbands serially
+    (super_resolution.cpp:201-267); the subband objectives are fully
+    channel-separable (same model, same motion, 2D TV never mixes channels),
+    so LL/LH/HL/HH are STACKED as 4 channels of ONE solve — the fused
+    kernel's channel-block grid batches them, eliminating the small-problem
+    dispatch and pipeline bubbles that held the serial form ~7x below
+    flagship per pixel-iteration (251.5 Mpix-it/s in round 2)."""
     import jax
     import jax.numpy as jnp
 
     from super_resolution_tpu.wavelet.haar import (
+        WaveletCoefficients,
         inverse_wavelet_transform,
         wavelet_transform,
     )
 
     gt, observations, shifts, kernel = _dallas_problem(dtype)
-    # Subband stacks: DWT of each observation; solve each subband at the
-    # same scale (the reference solves 4 independent problems).
+    # [K, 4, h/2, w/2]: the four subbands of each (grayscale) observation
+    # ride the channel axis of one stacked solve.
     subbands = jax.vmap(
-        lambda y: jnp.stack(tuple(wavelet_transform(y))), in_axes=0
+        lambda y: jnp.concatenate(tuple(wavelet_transform(y)), axis=0), in_axes=0
     )(observations)
-    hr_sub = (gt.shape[0], gt.shape[1] // 2, gt.shape[2] // 2)
+    hr_sub = (4 * gt.shape[0], gt.shape[1] // 2, gt.shape[2] // 2)
 
-    total_pixels = 0
-    t_total = 0.0
-    for b in range(4):
-        obs_b = subbands[:, b]
-        value = _solve_throughput(
-            obs_b, shifts, kernel, 4, _tv_regs(), iters, 0, hr_sub
-        )
-        # value = Mpix-iters/s for this subband; accumulate as time.
-        px_iters = hr_sub[-1] * hr_sub[-2] * iters
-        t_total += px_iters / (value * 1e6)
-        total_pixels += px_iters
-    # idwt sanity (excluded from timing; trivial cost).
-    from super_resolution_tpu.wavelet.haar import WaveletCoefficients
-
-    _ = inverse_wavelet_transform(
-        WaveletCoefficients(*[jnp.zeros(hr_sub, dtype) for _ in range(4)])
+    value = _solve_throughput(
+        subbands, shifts, kernel, 4, _tv_regs(), iters, 0, hr_sub
     )
-    value = total_pixels / t_total / 1e6
+    # idwt sanity (excluded from timing; trivial cost).
+    _ = inverse_wavelet_transform(
+        WaveletCoefficients(
+            *[jnp.zeros((gt.shape[0],) + hr_sub[1:], dtype) for _ in range(4)]
+        )
+    )
     return {
         "metric": "map_wavelet_domain_throughput_4x_dallas",
         "value": round(value, 3),
@@ -259,7 +399,9 @@ def bench_wavelet(dtype=np.float32, iters=25):
 CONFIGS = {
     "map_tv": bench_map_tv,
     "map_btv": bench_map_btv,
+    "map_btv_estimated": bench_map_btv_estimated,
     "hyperspectral": bench_hyperspectral,
+    "hyperspectral_pca": bench_hyperspectral_pca,
     "shift_add": bench_shift_add,
     "wavelet": bench_wavelet,
 }
@@ -271,8 +413,9 @@ def main():
                         help="bench every BASELINE config (one line each)")
     parser.add_argument("--config", choices=sorted(CONFIGS),
                         help="bench one named config")
-    parser.add_argument("--repeats", type=int, default=1,
-                        help="repeat each measurement N times (max reported)")
+    parser.add_argument("--repeats", type=int, default=3,
+                        help="repeat each measurement N times (max reported; "
+                             "default 3 absorbs ~2% shared-chip noise)")
     args = parser.parse_args()
 
     import os

@@ -72,6 +72,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="The maximum number of solver iterations.")
     p.add_argument("--diff_mode", default="analytic", choices=["analytic", "autodiff"],
                    help="Gradient mode: reference-parity analytic chain or jax.grad.")
+    # Production kernel routing (default 'auto' = the fused Pallas/phase-plane
+    # path on TPU backends; the CLI and bench.py run the SAME solver path).
+    p.add_argument("--pallas", default="auto", choices=["auto", "on", "off"],
+                   help="Fused Pallas data-term kernel: auto (on for TPU backends), "
+                        "on (force, interpret-mode on CPU), off (traced objective).")
+    p.add_argument("--pallas_tile", default="0",
+                   help="Kernel tile in HR pixels: 0 = VMEM-aware automatic, N, or "
+                        "ROWSxCOLS (e.g. 256x1024).")
+    p.add_argument("--pallas_shift_bound", type=float, default=-1.0,
+                   help="Shift-generic kernel |shift| bound; 0 forces the "
+                        "shift-specialized kernel, -1 = automatic (generic for "
+                        "estimated/fractional motion and frame meshes).")
+    p.add_argument("--pallas_channel_block", type=int, default=0,
+                   help="Bands per kernel grid step (0 = automatic).")
+    p.add_argument("--fused_irls", action="store_true",
+                   help="Run the entire IRLS loop as one jitted graph (no host "
+                        "round-trips; disables per-iteration logging/checkpoints).")
     # Distribution:
     p.add_argument("--num_devices", type=int, default=0,
                    help="Shard frames over this many devices (0 = single device).")
@@ -93,12 +110,28 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
     from super_resolution_tpu.ops.tv import TotalVariationRegularizer
     from super_resolution_tpu.solvers import IRLSMapSolver, IRLSMapSolverOptions
 
+    tile_spec = str(args.pallas_tile)
+    if "x" in tile_spec:
+        rows, cols = tile_spec.lower().split("x")
+        pallas_tile = (int(rows), int(cols))
+    else:
+        pallas_tile = int(tile_spec)
     options = IRLSMapSolverOptions(
         least_squares_solver=args.solver,
         max_num_solver_iterations=args.solver_iterations,
         max_num_irls_iterations=args.optimization_iterations,
         diff_mode=args.diff_mode,
         split_channels=args.split_channels,
+        # AUTO (None) routes the production fused-Pallas/phase-plane path on
+        # TPU backends and the shift-generic kernel for estimated motion /
+        # frame meshes — the CLI runs the same code path bench.py measures.
+        use_pallas_data_term={"auto": None, "on": True, "off": False}[args.pallas],
+        pallas_tile=pallas_tile,
+        pallas_shift_bound=(
+            None if args.pallas_shift_bound < 0 else args.pallas_shift_bound
+        ),
+        pallas_channel_block=args.pallas_channel_block,
+        fused_irls=args.fused_irls,
     )
     mesh = None
     if args.num_devices and args.num_devices > 1:
@@ -131,11 +164,30 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
     elapsed = time.perf_counter() - start
     if args.verbose:
         print(f"Done! Finished in {elapsed:.3f} seconds.")
+        iters = getattr(solver, "last_inner_iterations", 0)
+        arr = getattr(result, "array", result)
+        if iters and elapsed > 0:
+            mpix_iters = iters * arr.size / elapsed / 1e6
+            print(
+                f"Solve throughput: {mpix_iters:.1f} Mpixel-iters/s "
+                f"({iters} inner iterations over {arr.size / 1e6:.2f} Mpixels; "
+                "includes compile time on a cold cache)."
+            )
     return result
 
 
 def _solve_in_wavelet_domain(args, image_model, input_images):
-    """Per-subband solving (``super_resolution.cpp:201-267``)."""
+    """Wavelet-domain solving (``super_resolution.cpp:201-267``).
+
+    The reference loops over the four subbands serially; the subband
+    objectives are fully channel-separable (same image model, same motion,
+    TV/BTV never mix channels), so here LL/LH/HL/HH are STACKED as channels
+    of ONE solve — the fused kernel's channel-block grid batches them and
+    the small-problem dispatch overhead of four serial half-resolution
+    solves disappears (measured ~7x below flagship per pixel-iteration when
+    serial). 3D spectral TV couples the channel axis, so that one keeps the
+    reference's per-subband loop.
+    """
     from super_resolution_tpu.image.image_data import ImageData
     from super_resolution_tpu.wavelet import (
         WaveletCoefficients,
@@ -143,22 +195,44 @@ def _solve_in_wavelet_domain(args, image_model, input_images):
         wavelet_transform,
     )
 
-    subbands = {"ll": [], "lh": [], "hl": [], "hh": []}
-    for img in input_images:
-        coeffs = wavelet_transform(img.array)
-        for name in subbands:
-            subbands[name].append(
-                ImageData(getattr(coeffs, name), normalize="never", channel_major=True)
+    names = ("ll", "lh", "hl", "hh")
+    if args.regularizer == "3dtv":
+        subbands = {name: [] for name in names}
+        for img in input_images:
+            coeffs = wavelet_transform(img.array)
+            for name in names:
+                subbands[name].append(
+                    ImageData(getattr(coeffs, name), normalize="never",
+                              channel_major=True)
+                )
+        results = {}
+        for name, stack in subbands.items():
+            initial = stack[0].resized(float(args.upsampling_scale), method="linear")
+            results[name] = _setup_and_run_solver(args, image_model, stack, initial)
+        merged = WaveletCoefficients(
+            *(results[name].array for name in names)
+        )
+    else:
+        import jax.numpy as jnp
+
+        stacked_frames = []
+        for img in input_images:
+            coeffs = wavelet_transform(img.array)
+            stacked_frames.append(
+                ImageData(
+                    jnp.concatenate([getattr(coeffs, n) for n in names], axis=0),
+                    normalize="never", channel_major=True,
+                )
             )
-
-    results = {}
-    for name, stack in subbands.items():
-        initial = stack[0].resized(float(args.upsampling_scale), method="linear")
-        results[name] = _setup_and_run_solver(args, image_model, stack, initial)
-
-    merged = WaveletCoefficients(
-        *(results[name].array for name in ("ll", "lh", "hl", "hh"))
-    )
+        initial = stacked_frames[0].resized(
+            float(args.upsampling_scale), method="linear"
+        )
+        solved = _setup_and_run_solver(args, image_model, stacked_frames, initial)
+        arr = solved.array
+        c = arr.shape[0] // 4
+        merged = WaveletCoefficients(
+            *(arr[i * c : (i + 1) * c] for i in range(4))
+        )
     result = inverse_wavelet_transform(merged)
     w, h = input_images[0].size
     target_hw = (h * args.upsampling_scale, w * args.upsampling_scale)
@@ -171,6 +245,19 @@ def _solve_in_wavelet_domain(args, image_model, input_images):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    import os
+
+    import jax
+
+    # Persistent compilation cache: this environment's remote-compile path
+    # takes minutes per program; cache across runs (same knob bench.py uses).
+    cache_dir = os.environ.get("SRTPU_COMPILE_CACHE", "/tmp/srtpu_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from super_resolution_tpu.evaluation import (
         PeakSignalToNoiseRatioEvaluator,
@@ -210,14 +297,25 @@ def main(argv=None) -> int:
         print("At least one low-resolution image is required.", file=sys.stderr)
         return 1
 
-    # Motion: from file, or estimated via registration.
+    # Motion: from file, or estimated via registration. Registration sees the
+    # LR frames, so its shifts are in LR pixels; the image model warps the HR
+    # estimate, so the motion sequence must be in HR pixels — scale by s
+    # (an HR shift of s*d appears as a d-pixel shift after decimation).
     if not args.motion_sequence_path and args.estimate_motion:
+        from super_resolution_tpu.motion.motion_shift import (
+            MotionShift,
+            MotionShiftSequence,
+        )
         from super_resolution_tpu.motion.registration import translational_registration
 
-        seq = translational_registration(low_res_images)
+        seq_lr = translational_registration(low_res_images)
+        s = args.upsampling_scale
+        seq = MotionShiftSequence(
+            [MotionShift(sh.dx * s, sh.dy * s) for sh in seq_lr]
+        )
         model_parameters.motion_sequence = seq
         if args.verbose:
-            print("Estimated motion:", [(s.dx, s.dy) for s in seq])
+            print("Estimated motion (HR px):", [(s.dx, s.dy) for s in seq])
     image_model = ImageModel.create(model_parameters)
 
     has_ground_truth = high_res_image is not None

@@ -283,6 +283,37 @@ def _estimate_vmem(g, s: int, c: int, k: int, use_tv: bool, use_btv: bool) -> in
     return 4 * (2 * (inputs + outputs) + inter)
 
 
+def estimate_kernel_vmem(
+    tile,
+    num_channels: int,
+    scale: int,
+    num_frames: int,
+    static_shifts,
+    kernel,
+    use_tv: bool = False,
+    use_btv: bool = False,
+    btv_range: int = 0,
+    shift_bound: float | None = None,
+) -> int:
+    """Estimated live VMEM (bytes) of one fused-kernel grid step for an
+    EXPLICIT tile — lets callers that pin a tile (MapSolverOptions.
+    pallas_tile) validate it against the ~16 MB scoped limit up front,
+    including modes that change the per-step channel count (the spectral
+    halo adds one full channel to every per-frame intermediate)."""
+    s = int(scale)
+    if shift_bound is not None:
+        wt, wat = [], []
+        wr_override = _bound_wr(shift_bound)
+    else:
+        shift_list = [(float(sh[0]), float(sh[1])) for sh in np.asarray(static_shifts)]
+        wt = [_warp_taps(dx, dy) for dx, dy in shift_list]
+        wat = [_warp_taps(-dx, -dy) for dx, dy in shift_list]
+        wr_override = None
+    g = _geometry(wt, wat, kernel, s, tile, use_btv, btv_range,
+                  wr_override=wr_override)
+    return _estimate_vmem(g, s, int(num_channels), int(num_frames), use_tv, use_btv)
+
+
 def shift_bound_bucket(bound: float) -> int:
     """Round a |shift| bound up to the next power-of-two bucket (min 2).
 
@@ -446,6 +477,9 @@ def pallas_data_term_cost_and_grad(
     channel_block: int = 0,
     phase_io: bool = False,
     spectral_halo: bool = False,
+    origin: tuple[int, int] | None = None,
+    global_hw: tuple[int, int] | None = None,
+    data_mask_lr: np.ndarray | None = None,
 ):
     """Fused data term: ``(cost, grad)`` of ``s^2 sum_k ||D B M_k x - y_k||^2``.
 
@@ -506,6 +540,23 @@ def pallas_data_term_cost_and_grad(
     band. The caller makes the halo a copy of the last real band on the
     shard holding the global last band, so ``dz == 0`` reproduces the
     reference's zero forward difference there.
+
+    **Shard mode** (``origin`` + ``global_hw``, optional ``data_mask_lr``):
+    ``x`` is a HALO-EXTENDED SPATIAL TILE of a larger image
+    (``parallel/halo.py``) rather than the whole image. ``origin=(u0, v0)``
+    gives the global HR coordinate of ``x[..., 0, 0]`` (negative at global
+    edges) and ``global_hw=(H, W)`` the global extent; every coordinate
+    predicate — warp/adjoint extent masks, the TV forward-difference
+    truncation, BTV's window masks and image-origin skip — then evaluates in
+    GLOBAL coordinates, so out-of-tile-but-in-image halo content is treated
+    as valid neighbor data and the true image border keeps BORDER_CONSTANT
+    semantics. ``data_mask_lr`` (``[h/s, w/s]`` 0/1) restricts the data-term
+    residual to the LR pixels this shard OWNS (halo rim excluded — each LR
+    pixel is counted by exactly one shard); gradient contributions flowing
+    into the rim are returned for the caller's halo scatter-sum. Fused
+    TV/BTV constants must be zero on the rim (the caller zero-pads), which
+    removes rim-owned regularizer terms the same way. ``origin[i]`` must be
+    a multiple of ``scale`` (tiles are scale-aligned).
     """
     if not interpret and jax.default_backend() == "cpu":
         interpret = True  # Mosaic is TPU-only; CPU (tests/dev) interprets.
@@ -521,6 +572,26 @@ def pallas_data_term_cost_and_grad(
     k_frames = observations.shape[0]
     s = int(scale)
     dtype = x.dtype
+    # Shard mode: coordinate predicates run in GLOBAL coordinates. A TRACED
+    # origin ([2] int32) supports SPMD shard_map callers — one program, per-
+    # shard origins as data (they only feed the kernel's SMEM origin table).
+    traced_origin = origin is not None and isinstance(
+        origin, (jnp.ndarray, jax.core.Tracer)
+    ) and not isinstance(origin, np.ndarray)
+    if traced_origin:
+        u0, v0 = 0, 0  # host-side packing is origin-independent
+        if data_mask_lr is None:
+            raise ValueError(
+                "A traced (per-shard) origin requires an explicit "
+                "data_mask_lr (the owned-pixel mask is per-shard data)."
+            )
+    else:
+        u0, v0 = (0, 0) if origin is None else (int(origin[0]), int(origin[1]))
+        if u0 % s or v0 % s:
+            raise ValueError(f"origin {origin} must be scale-aligned (s={s}).")
+    h_glob, w_glob = (h, w) if global_hw is None else (
+        int(global_hw[0]), int(global_hw[1])
+    )
     # Channel (band-block) grid dimension: hyperspectral stacks keep LARGE
     # spatial tiles by processing `cb` bands per grid step instead of
     # shrinking the tile until all C bands fit in VMEM (the data term and
@@ -656,9 +727,29 @@ def pallas_data_term_cost_and_grad(
         observations,
         [(0, 0), (0, 0), (pe_pad, pe_pad + (hp - h) // s), (pe_pad, pe_pad + (wp - w) // s)],
     )
-    mask_np = np.zeros((hp // s + 2 * pe, wp // s + 2 * pe), dtype=dtype)
-    mask_np[pe : pe + h // s, pe : pe + w // s] = 1.0
-    maskp = jnp.asarray(mask_np)
+    if data_mask_lr is not None:
+        if data_mask_lr.shape != (h // s, w // s):
+            raise ValueError(
+                f"data_mask_lr shape {data_mask_lr.shape} != LR extent "
+                f"{(h // s, w // s)}."
+            )
+        # jnp path: the mask may be traced (per-shard owned region).
+        maskp = jnp.pad(
+            jnp.asarray(data_mask_lr, dtype),
+            [(pe, pe + (hp - h) // s), (pe, pe + (wp - w) // s)],
+        )
+    else:
+        mask_np = np.zeros((hp // s + 2 * pe, wp // s + 2 * pe), dtype=dtype)
+        # Default: LR pixels inside the GLOBAL image (identical to the old
+        # behavior when origin/global_hw are absent).
+        rows = np.arange(h // s) + u0 // s
+        cols = np.arange(w // s) + v0 // s
+        inside = (
+            ((rows >= 0) & (rows < h_glob // s))[:, None]
+            & ((cols >= 0) & (cols < w_glob // s))[None, :]
+        )
+        mask_np[pe : pe + h // s, pe : pe + w // s] = inside.astype(dtype)
+        maskp = jnp.asarray(mask_np)
 
     # TV constants: phase planes with origin at plane coord -1 (one extra
     # HR row/col of halo up/left for the shifted gradient contributions).
@@ -699,11 +790,16 @@ def pallas_data_term_cost_and_grad(
     xw = jnp.stack(xw)   # [T, s*s, c, lrw_r, lrw_c]
     yw = jnp.stack(yw)   # [T, K, c, ext_r, ext_c]
     mw = jnp.stack(mw)   # [T, ext_r, ext_c]
+    # Origins in GLOBAL HR coordinates (u0 = v0 = 0 single-device); they feed
+    # only coordinate predicates (extent masks, TV truncation, BTV masks).
     origins = np.array(
-        [[ti * tile_r, tj * tile_c] for ti in range(n_ty) for tj in range(n_tx)],
+        [[u0 + ti * tile_r, v0 + tj * tile_c]
+         for ti in range(n_ty) for tj in range(n_tx)],
         dtype=np.int32,
     )
     origins_j = jnp.asarray(origins)
+    if traced_origin:
+        origins_j = origins_j + jnp.asarray(origin, jnp.int32)[None, :]
 
     # ---- Kernel ------------------------------------------------------------
 
@@ -729,7 +825,7 @@ def pallas_data_term_cost_and_grad(
             cid = jax.lax.broadcasted_iota(jnp.int32, (size_r, size_c), 1)
             rr = start_hr_r + step * rid
             cc = start_hr_c + step * cid
-            valid = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+            valid = (rr >= 0) & (rr < h_glob) & (cc >= 0) & (cc < w_glob)
             return valid.astype(dtype)
 
         mask_t = mw_ref[0]
@@ -999,8 +1095,8 @@ def pallas_data_term_cost_and_grad(
                     cid = jax.lax.broadcasted_iota(jnp.int32, (nxt_r, nxt_c), 1)
                     u = t0r - s + pr + s * rid
                     v = t0c - s + pc + s * cid
-                    mdx = (v + 1 < w).astype(dtype)
-                    mdy = (u + 1 < h).astype(dtype)
+                    mdx = (v + 1 < w_glob).astype(dtype)
+                    mdy = (u + 1 < h_glob).astype(dtype)
                     dx = (xplane(pr, pc, 0, 1) - xc) * mdx[None]
                     dy = (xplane(pr, pc, 1, 0) - xc) * mdy[None]
                     cst = cw_ref[0, pr * s + pc]
@@ -1076,7 +1172,7 @@ def pallas_data_term_cost_and_grad(
                         for j in range(P + 1):
                             if i == 0 and j == 0:
                                 continue
-                            mk = ((u + i < h) & (v + j < w)).astype(dtype)
+                            mk = ((u + i < h_glob) & (v + j < w_glob)).astype(dtype)
                             d = (xc - xb(pr, pc, i, j)) * mk[None]
                             term = jnp.asarray(a ** (i + j), dtype) * jnp.abs(d)
                             racc = term if racc is None else racc + term
@@ -1097,7 +1193,7 @@ def pallas_data_term_cost_and_grad(
                     for pr in range(s):
                         for pc in range(s):
                             u, v = uv[(pr, pc)]
-                            mk = ((u + i < h) & (v + j < w)).astype(dtype)
+                            mk = ((u + i < h_glob) & (v + j < w_glob)).astype(dtype)
                             d = (xcc[(pr, pc)] - xb(pr, pc, i, j)) * mk[None]
                             tt = w_ij * gpl[(pr, pc)] * jnp.sign(d)
                             # Self term on the tile interior.

@@ -165,7 +165,27 @@ def make_band_sharded_pallas_vg(
     static_shifts = np.asarray(static_shifts)
     kernel_np = None if blur_kernel is None else np.asarray(blur_kernel)
     channel_block = 0
-    if not (isinstance(pallas_tile, (tuple, list)) or pallas_tile > 0):
+    explicit_tile = isinstance(pallas_tile, (tuple, list)) or pallas_tile > 0
+    if explicit_tile and need_halo:
+        # An explicit tile bypasses the auto choice that sizes VMEM for
+        # c_local + 1 channels in spectral-halo mode — a tile pinned for
+        # c_local bands can blow the ~16 MB scoped limit (the halo adds one
+        # full channel to every per-frame intermediate). Validate up front.
+        from super_resolution_tpu.ops.pallas.degrade import estimate_kernel_vmem
+
+        est = estimate_kernel_vmem(
+            pallas_tile, c_kernel, scale, k, static_shifts, kernel_np,
+            use_tv=True,
+        )
+        if est > 15 * 2**20:
+            raise ValueError(
+                f"Explicit pallas_tile {pallas_tile} needs ~{est / 2**20:.1f} "
+                f"MB VMEM for {c_kernel} channels (local bands + spectral "
+                "halo) — over the ~16 MB scoped limit. Size pinned tiles for "
+                "c_local + 1 channels in 3D-TV band-sharded mode, or use the "
+                "automatic tile (pallas_tile=0)."
+            )
+    if not explicit_tile:
         if fuse_tv3d:
             # The kernel requires the full (local) stack per grid step for
             # spectral coupling — no channel blocking; size for the halo.
@@ -384,7 +404,25 @@ def make_frame_sharded_pallas_vg(
     c_kernel = c_local + (1 if need_halo else 0)
     kernel_np = None if blur_kernel is None else np.asarray(blur_kernel)
     channel_block = 0
-    if not (isinstance(pallas_tile, (tuple, list)) or pallas_tile > 0):
+    explicit_tile = isinstance(pallas_tile, (tuple, list)) or pallas_tile > 0
+    if explicit_tile and need_halo:
+        # Same guard as the band-only builder: pinned tiles must be sized
+        # for c_local + 1 channels when the spectral halo rides along.
+        from super_resolution_tpu.ops.pallas.degrade import estimate_kernel_vmem
+
+        est = estimate_kernel_vmem(
+            pallas_tile, c_kernel, scale, k_local, None, kernel_np,
+            use_tv=True, shift_bound=shift_bound,
+        )
+        if est > 15 * 2**20:
+            raise ValueError(
+                f"Explicit pallas_tile {pallas_tile} needs ~{est / 2**20:.1f} "
+                f"MB VMEM for {c_kernel} channels (local bands + spectral "
+                "halo) — over the ~16 MB scoped limit. Size pinned tiles for "
+                "c_local + 1 channels in 3D-TV band-sharded mode, or use the "
+                "automatic tile (pallas_tile=0)."
+            )
+    if not explicit_tile:
         if fuse_tv3d:
             pallas_tile = choose_tile(
                 c_kernel, scale, k_local, None, kernel_np,

@@ -36,7 +36,57 @@ from super_resolution_tpu.solvers.map_solver import IRLSMapSolverOptions
 from super_resolution_tpu.solvers.objective import make_map_value_and_grad
 from super_resolution_tpu.solvers.solver import MapSolverBase
 
-__all__ = ["IRLSMapSolver", "IRLSMapSolverOptions", "irls_solve_fused"]
+__all__ = [
+    "IRLSMapSolver",
+    "IRLSMapSolverOptions",
+    "irls_solve_fused",
+    "resolve_auto_options",
+]
+
+
+def resolve_auto_options(opts, *, backend: str, shifts, frame_mesh: bool = False):
+    """Resolve the AUTO (``None``) routing fields of a solver options object.
+
+    The production rule (the reference's binary IS its production solver,
+    ``super_resolution.cpp:126-199`` — ours must route the same way without
+    expert flags):
+
+    - ``use_pallas_data_term`` AUTO -> on whenever the backend is an
+      accelerator and ``diff_mode == "analytic"`` (the fused kernel measured
+      ~3x the traced path per evaluation, and phase-plane state another 3.3x
+      on the full solve); off on CPU, where the interpret-mode kernel exists
+      for tests, not speed.
+    - ``pallas_shift_bound`` AUTO -> ``shift_bound_bucket(max|shift|)`` when
+      the motion is fractional (estimated registration: every distinct shift
+      set would recompile the specialized kernel — minutes through a
+      remote-compile toolchain) or a frame mesh is present (per-device
+      shifts must be runtime SMEM data under one SPMD program); 0 otherwise
+      (the trace-specialized kernel is fastest for one fixed integer
+      sequence).
+
+    Returns a new options object; explicit (non-``None``) settings pass
+    through untouched.
+    """
+    import dataclasses
+
+    from super_resolution_tpu.ops.pallas.degrade import shift_bound_bucket
+
+    resolved = dataclasses.replace(opts)
+    if resolved.use_pallas_data_term is None:
+        resolved.use_pallas_data_term = (
+            backend != "cpu" and resolved.diff_mode == "analytic"
+        )
+    if resolved.pallas_shift_bound is None:
+        shifts_np = np.asarray(shifts, dtype=np.float64)
+        fractional = shifts_np.size > 0 and not np.array_equal(
+            shifts_np, np.round(shifts_np)
+        )
+        if resolved.use_pallas_data_term and (fractional or frame_mesh):
+            max_abs = float(np.max(np.abs(shifts_np))) if shifts_np.size else 0.0
+            resolved.pallas_shift_bound = float(shift_bound_bucket(max_abs))
+        else:
+            resolved.pallas_shift_bound = 0.0
+    return resolved
 
 
 def irls_solve_fused(
@@ -45,6 +95,7 @@ def irls_solve_fused(
     x0: jnp.ndarray,
     options: IRLSMapSolverOptions,
     phase_converters=None,
+    return_iterations: bool = False,
 ):
     """The entire IRLS solve as ONE jittable computation.
 
@@ -86,17 +137,19 @@ def irls_solve_fused(
 
     if not regs:
         result = inner(x0, ())
+        if return_iterations:
+            return result.x, result.cost, result.iterations
         return result.x, result.cost
 
     weights0 = tuple(jnp.ones_like(x0) for _ in regs)
     inf = jnp.asarray(jnp.inf, x0.dtype)
 
     def cond(state):
-        _, _, _, it, done = state
+        _, _, _, it, _, done = state
         return (~done) & (it < max_irls)
 
     def body(state):
-        x, weights, prev_cost, it, _ = state
+        x, weights, prev_cost, it, inner_its, _ = state
         result = inner(x, weights)
         x_new, cost = result.x, result.cost.astype(x0.dtype)
         new_weights = tuple(
@@ -105,15 +158,37 @@ def irls_solve_fused(
         )
         diff = prev_cost - cost
         done = jnp.abs(diff) < thr
-        return x_new, new_weights, cost, it + 1, done
+        return (
+            x_new, new_weights, cost, it + 1,
+            inner_its + result.iterations.astype(jnp.int32), done,
+        )
 
-    x, _, cost, _, _ = jax.lax.while_loop(
-        cond, body, (x0, weights0, inf, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_))
+    x, _, cost, _, inner_its, _ = jax.lax.while_loop(
+        cond, body,
+        (x0, weights0, inf, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+         jnp.zeros((), jnp.bool_)),
     )
+    if return_iterations:
+        return x, cost, inner_its
     return x, cost
 
 # Minimum residual for IRLS reweighting (``irls_map_solver.cpp:34``).
 _MIN_RESIDUAL = 1e-5
+
+
+def _warn_mesh_fallback(path: str, reasons) -> None:
+    """A mesh configuration missed its fast-path eligibility: say so (the
+    GSPMD traced fallback measured ~3x slower per evaluation — a silent
+    downgrade a user asking for a mesh should hear about)."""
+    import warnings
+
+    why = "; ".join(reasons) if reasons else "configuration not eligible"
+    warnings.warn(
+        f"Mesh solve falling back from the {path} path to the (slower) "
+        f"GSPMD traced objective: {why}.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 # Built inner solvers shared ACROSS solver instances (module-level): video
 # sliding windows construct a fresh IRLSMapSolver per frame, and rebuilding
@@ -121,8 +196,13 @@ _MIN_RESIDUAL = 1e-5
 # 1000^2 solve). Keyed by everything the trace bakes in as a constant:
 # options, regularizer signatures, blur kernel bytes, static shift bytes
 # (None on the shift-generic path, where shifts are traced arguments),
-# scale/max_shift/verbosity, and the mesh identity.
-_BUILT_SOLVER_CACHE: dict = {}
+# scale/max_shift/verbosity, and the mesh identity. LRU-capped: a long-lived
+# service sweeping options or baked shift sets must not leak executables
+# (each entry pins a compiled XLA program).
+from collections import OrderedDict
+
+_BUILT_SOLVER_CACHE: OrderedDict = OrderedDict()
+_BUILT_SOLVER_CACHE_MAX = 32
 
 
 def _regs_signature(regs):
@@ -157,6 +237,7 @@ class IRLSMapSolver(MapSolverBase):
         super().__init__(image_model, low_res_images, print_solver_output)
         self.options = options
         self.mesh = mesh
+        self.last_inner_iterations = 0
         # Built inner solvers, keyed by (split, options): repeated solve()
         # calls (video sliding windows, IRLS restarts) must reuse the jitted
         # executable — rebuilding the jit wrapper per call forces a full
@@ -246,6 +327,29 @@ class IRLSMapSolver(MapSolverBase):
         import dataclasses
 
         opts = dataclasses.replace(self.options)
+        # Resolve AUTO routing fields (production path selection). The
+        # backend is initialized by now (the observations are device arrays).
+        opts = resolve_auto_options(
+            opts,
+            backend=jax.default_backend(),
+            shifts=self.shifts,
+            frame_mesh=self._has_frame_mesh(),
+        )
+        # Exposed for introspection (CLI logging, routing tests).
+        self.last_resolved_options = opts
+        if self.verbose:
+            print(
+                "Solver routing: "
+                f"pallas={'on' if opts.use_pallas_data_term else 'off'}"
+                + (
+                    f" shift_generic(bound={opts.pallas_shift_bound:g})"
+                    if opts.pallas_shift_bound > 0.0
+                    else " shift_specialized"
+                )
+                + (" fused_irls" if opts.fused_irls else " host_irls")
+                + (f" mesh={dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}"
+                   if self.mesh is not None else "")
+            )
         opts.adjust_thresholds_adaptively(
             num_data_points, self.regularization_parameter_sum
         )
@@ -256,6 +360,11 @@ class IRLSMapSolver(MapSolverBase):
                 "checkpoint seam; use the host-loop default for "
                 "checkpoint/resume."
             )
+
+        # Total inner CG/L-BFGS iterations of the last solve() call (all
+        # channel rounds + IRLS iterations) — lets callers (the CLI's
+        # verbose mode) report Mpixel-iterations/s for the actual solve.
+        self.last_inner_iterations = 0
 
         results = []
         kern = self.blur_kernel
@@ -296,6 +405,8 @@ class IRLSMapSolver(MapSolverBase):
             # solver per frame); mesh solvers stay instance-local (the mesh
             # object itself is baked into the shard_map).
             inner = _BUILT_SOLVER_CACHE.get(cache_key)
+            if inner is not None:
+                _BUILT_SOLVER_CACHE.move_to_end(cache_key)
         if inner is None:
             if opts.fused_irls:
                 inner = self._build_fused_solver(opts)
@@ -304,6 +415,8 @@ class IRLSMapSolver(MapSolverBase):
             self._inner_cache[cache_key] = inner
             if self.mesh is None:
                 _BUILT_SOLVER_CACHE[cache_key] = inner
+                while len(_BUILT_SOLVER_CACHE) > _BUILT_SOLVER_CACHE_MAX:
+                    _BUILT_SOLVER_CACHE.popitem(last=False)
         for i in range(num_rounds):
             ch0 = i * channels_per_split
             ch1 = ch0 + channels_per_split
@@ -315,7 +428,8 @@ class IRLSMapSolver(MapSolverBase):
                 else (f"{checkpoint_path}.npz" if checkpoint_path else None)
             )
             if opts.fused_irls:
-                x, cost = inner(x0, obs, self.shifts)
+                x, cost, its = inner(x0, obs, self.shifts)
+                self.last_inner_iterations += int(its)
                 if self.verbose:
                     print(f"Fused IRLS round {i} done; final loss {float(cost)}.")
             else:
@@ -331,6 +445,14 @@ class IRLSMapSolver(MapSolverBase):
         return out
 
     # ------------------------------------------------------------------ internals
+
+    def _has_frame_mesh(self) -> bool:
+        if self.mesh is None or self._spatial_mesh:
+            return False
+        from super_resolution_tpu.parallel.mesh import FRAME_AXIS
+
+        sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        return sizes.get(FRAME_AXIS, 1) > 1
 
     def _build_fused_solver(self, opts):
         """All-in-graph IRLS (``irls_solve_fused``): one jitted computation
@@ -374,7 +496,8 @@ class IRLSMapSolver(MapSolverBase):
                 (vg.to_planes, vg.from_planes) if phase_io else None
             )
             return irls_solve_fused(
-                vg.prepare, regs, x0, opts, phase_converters=converters
+                vg.prepare, regs, x0, opts, phase_converters=converters,
+                return_iterations=True,
             )
 
         return jax.jit(fused)
@@ -425,6 +548,23 @@ class IRLSMapSolver(MapSolverBase):
                 and (h_hr // n_row) % scale == 0
                 and (w_hr // n_col) % scale == 0
             )
+            if not (spatial_only and regs_ok and shapes_ok):
+                reasons = []
+                if not spatial_only:
+                    reasons.append(
+                        "mesh mixes spatial (row/col) with frame/band axes"
+                    )
+                if not regs_ok:
+                    reasons.append(
+                        "regularizers not tileable (need exactly <=1 2D TV "
+                        "or BTV term)"
+                    )
+                if not shapes_ok:
+                    reasons.append(
+                        f"HR shape {(h_hr, w_hr)} not divisible into "
+                        f"{n_row}x{n_col} scale-aligned tiles"
+                    )
+                _warn_mesh_fallback("spatial halo-exchange", reasons)
             if spatial_only and regs_ok and shapes_ok:
                 mesh = self.mesh
                 image_shape = (h_hr, w_hr)
@@ -496,6 +636,32 @@ class IRLSMapSolver(MapSolverBase):
                 and regs_ok
                 and band_divides
             )
+            if not frame_eligible and not band_eligible:
+                reasons = []
+                if not regs_ok:
+                    reasons.append(
+                        "regularizers not kernel-fusable (need exactly <=1 "
+                        "TV/BTV term)"
+                    )
+                if not band_divides:
+                    reasons.append(
+                        f"{channels_per_split} channels not divisible by the "
+                        f"band axis ({axis_sizes.get(BAND_AXIS, 1)})"
+                    )
+                if frame_size > 1 and not opts.pallas_shift_bound > 0.0:
+                    reasons.append(
+                        "frame mesh needs the shift-generic kernel "
+                        "(pallas_shift_bound > 0; AUTO selects it)"
+                    )
+                if (
+                    frame_size > 1
+                    and self.observations.shape[0] % frame_size != 0
+                ):
+                    reasons.append(
+                        f"{self.observations.shape[0]} frames not divisible "
+                        f"by the frame axis ({frame_size})"
+                    )
+                _warn_mesh_fallback("fused-Pallas sharded", reasons)
             if frame_eligible:
                 from super_resolution_tpu.parallel.pallas_sharded import (
                     make_frame_sharded_pallas_vg,
@@ -680,6 +846,7 @@ class IRLSMapSolver(MapSolverBase):
         while True:
             result = inner(x, observations, self.shifts, weights)
             x, cost = result.x, float(result.cost)
+            self.last_inner_iterations += int(result.iterations)
             if not regs:
                 if self.verbose:
                     print("Least squares done (no regularization terms to reweight).")

@@ -40,6 +40,23 @@ from jax import lax
 __all__ = ["minimize", "MinimizeResult", "LineSearchConfig"]
 
 
+def _backend_lacks_host_callbacks() -> bool:
+    """True on the axon PJRT plugin (tunneled TPU), which raises UNIMPLEMENTED
+    for host send/recv (jax.debug.print / io_callback). Note
+    ``jax.default_backend()`` reports plain ``"tpu"`` for it — the plugin is
+    only identifiable from the backend's platform_version / registry name."""
+    if jax.default_backend() == "cpu":
+        return False
+    try:
+        import jax._src.xla_bridge as xb
+
+        if "axon" in getattr(xb, "backends", lambda: {})():
+            return True
+        return "axon" in getattr(xb.get_backend(), "platform_version", "")
+    except Exception:
+        return False
+
+
 def _vdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.vdot(a.reshape(-1), b.reshape(-1))
 
@@ -281,8 +298,8 @@ def minimize(
             "initial_step_mode applies to CG only: L-BFGS directions are "
             "naturally scaled and always try alpha = 1 first."
         )
-    if log_iterations and jax.default_backend() == "axon":
-        # This backend's PJRT has no host send/recv, so jax.debug.print
+    if log_iterations and _backend_lacks_host_callbacks():
+        # The axon PJRT plugin has no host send/recv, so jax.debug.print
         # raises UNIMPLEMENTED at run time. Degrade gracefully.
         import warnings
 

@@ -23,9 +23,14 @@ class MapSolverOptions:
     # use_numerical_differentiation validation mode with exact derivatives).
     diff_mode: str = "analytic"
     split_channels: bool = False
-    # Use the fused Pallas TPU kernel for the data term (requires host-known
-    # motion shifts; falls back implicitly to the unfused path otherwise).
-    use_pallas_data_term: bool = False
+    # Use the fused Pallas TPU kernel for the data term. ``None`` (default)
+    # = AUTO: on at solve time whenever the backend is a TPU and
+    # ``diff_mode == "analytic"`` (the production path — the traced fallback
+    # measured ~3x slower per evaluation), off on CPU (the interpret-mode
+    # kernel is for tests). Explicit True/False forces the choice; the
+    # reference's binary and its solver are one code path
+    # (``super_resolution.cpp:126-199``), and with AUTO so are ours.
+    use_pallas_data_term: bool | None = None
     # Specialize the data term on host-known shifts (unrolled per-frame
     # slices). Measured SLOWER than the vmapped traced path on TPU (the
     # batched form fuses better), so off by default; kept for CPU use and
@@ -40,9 +45,13 @@ class MapSolverOptions:
     # set with max(|dx|, |dy|) <= bound — use for estimated motion, video
     # sliding windows, and frame-sharded meshes, where per-shift-set
     # recompiles (minutes on a remote-compile toolchain) are unacceptable.
-    # 0 keeps the trace-time-specialized kernel (fastest for one fixed,
-    # host-known motion sequence).
-    pallas_shift_bound: float = 0.0
+    # 0 forces the trace-time-specialized kernel (fastest for one fixed,
+    # host-known motion sequence). ``None`` (default) = AUTO: the solver
+    # picks ``shift_bound_bucket(max|shift|)`` when the motion is fractional
+    # (estimated registration — every distinct shift set would otherwise
+    # recompile the specialized kernel) or a frame mesh is present (per-
+    # device shifts must be runtime data), and 0 otherwise.
+    pallas_shift_bound: float | None = None
     # Bands per kernel grid step; 0 = automatic (largest channel block that
     # keeps the spatial tile at the 1-band optimum; see
     # ops/pallas/degrade.py choose_channel_block). Hyperspectral stacks keep

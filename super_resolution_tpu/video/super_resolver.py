@@ -58,7 +58,14 @@ class VideoSuperResolver:
         # Register the window against the center frame.
         center = window[min(center_index - lo, window.shape[0] - 1)]
         ordered = np.concatenate([center[None], np.delete(window, min(center_index - lo, window.shape[0] - 1), axis=0)])
-        seq = translational_registration(list(ordered))
+        # Registration shifts are in LR pixels; the image model warps the HR
+        # estimate — convert to HR pixels (x scale).
+        seq_lr = translational_registration(list(ordered))
+        from super_resolution_tpu.motion.motion_shift import MotionShift
+
+        seq = MotionShiftSequence(
+            [MotionShift(s.dx * self.scale, s.dy * self.scale) for s in seq_lr]
+        )
         params = ImageModelParameters(
             scale=self.scale,
             blur_radius=self.blur_radius,

@@ -62,3 +62,40 @@ class VideoLoader:
             return np.zeros((0, 0, 0, 0))
         return np.stack([np.moveaxis(f, -1, 0) if f.ndim == 3 else f[None]
                          for f in self._frames])
+
+    def play_original_video(self, frame_delay_ms: int = 30) -> list[str] | None:
+        """Play the loaded frames in a window (``video_loader.cpp:62-77``):
+        each frame resized to the reference's 1000x600 display size, ~30 ms
+        apart, stopping early on any keypress. Headless (no $DISPLAY): the
+        resized frames are written to a temp directory instead and the paths
+        returned (None when displayed interactively)."""
+        import tempfile
+
+        display_size = (1000, 600)  # kDisplayFrameSize, video_loader.cpp:19
+        frames8 = [
+            cv2.resize(
+                (np.clip(f, 0.0, 1.0) * 255).astype(np.uint8), display_size
+            )
+            for f in self._frames
+        ]
+        if os.environ.get("DISPLAY"):
+            try:
+                window_name = "Original Video"
+                cv2.namedWindow(window_name)
+                for frame in frames8:
+                    cv2.imshow(window_name, frame)
+                    if cv2.waitKey(frame_delay_ms) >= 0:
+                        break
+                cv2.destroyWindow(window_name)
+                return None
+            except cv2.error:
+                pass
+        out_dir = tempfile.mkdtemp(prefix="srtpu_video_")
+        paths = []
+        for i, frame in enumerate(frames8):
+            path = os.path.join(out_dir, f"frame_{i:05d}.png")
+            cv2.imwrite(path, frame)
+            paths.append(path)
+        if paths:
+            print(f"[headless] saved {len(paths)} video frames to {out_dir}")
+        return paths

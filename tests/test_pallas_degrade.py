@@ -625,3 +625,75 @@ def test_phase_io_rejects_unfusable():
             obs, jnp.asarray(shifts_np), kernel, 2, [], use_pallas=False,
             phase_io=True,
         )
+
+
+@pytest.mark.parametrize("reg_kind", ["none", "tv", "btv"])
+def test_kernel_shard_mode_matches_full_image(reg_kind):
+    """Shard mode (origin + global_hw + data_mask_lr): running the kernel on
+    halo-extended row tiles and scatter-summing the gradients reproduces the
+    full-image kernel exactly — the seam contract of the spatial halo path
+    (parallel/halo.py) when it feeds tiles to the fused kernel."""
+    from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
+    from super_resolution_tpu.ops.blur import gaussian_kernel_2d
+
+    rng = np.random.default_rng(55)
+    s = 2
+    c, h, w = 1, 24, 24
+    x = jnp.asarray(rng.random((c, h, w)), jnp.float64)
+    shifts = np.asarray([(0.0, 0.0), (1.25, -0.5), (0.5, 1.0)])
+    kernel = np.asarray(gaussian_kernel_2d(3, 1.0))
+    obs = jnp.asarray(rng.random((3, c, h // s, w // s)), jnp.float64)
+
+    reg_kwargs = {}
+    btv_range = 2
+    if reg_kind == "tv":
+        cst = jnp.asarray(rng.random((c, h, w)), jnp.float64) * 0.01
+        reg_kwargs = dict(tv_constants=cst)
+    elif reg_kind == "btv":
+        cst = jnp.asarray(rng.random((c, h, w)), jnp.float64) * 0.01
+        reg_kwargs = dict(btv_constants=cst, btv_range=btv_range, btv_decay=0.6)
+
+    cost_full, grad_full = pallas_data_term_cost_and_grad(
+        x, obs, shifts, kernel, s, tile=8, interpret=True, **reg_kwargs
+    )
+
+    # Two row shards with a q-halo (q covers warp+blur reach and the BTV
+    # window), computed serially exactly as the shard_map path would.
+    q = 4
+    th = h // 2
+    cost_sum = 0.0
+    canvas = np.zeros((c, h, w))
+    for r in range(2):
+        r0 = r * th - q
+        xp = np.zeros((c, th + 2 * q, w + 2 * q))
+        lo, hi = max(r0, 0), min(r0 + th + 2 * q, h)
+        xp[:, lo - r0 : hi - r0, q : q + w] = np.asarray(x)[:, lo:hi, :]
+        obs_pad = np.zeros((3, c, (th + 2 * q) // s, (w + 2 * q) // s))
+        lo_l, hi_l = max(r0 // s, 0), min((r0 + th + 2 * q) // s, h // s)
+        obs_pad[:, :, lo_l - r0 // s : hi_l - r0 // s, q // s : q // s + w // s] = (
+            np.asarray(obs)[:, :, lo_l:hi_l, :]
+        )
+        mask = np.zeros(((th + 2 * q) // s, (w + 2 * q) // s))
+        mask[q // s : q // s + th // s, q // s : q // s + w // s] = 1.0
+        skw = dict(reg_kwargs)
+        if reg_kind in ("tv", "btv"):
+            key = "tv_constants" if reg_kind == "tv" else "btv_constants"
+            cpad = np.zeros((c, th + 2 * q, w + 2 * q))
+            cpad[:, lo - r0 : hi - r0, q : q + w] = np.asarray(cst)[:, lo:hi, :]
+            # rim constants ZERO: only owned pixels' regularizer terms count
+            cpad_owned = np.zeros_like(cpad)
+            cpad_owned[:, q : q + th, q : q + w] = cpad[:, q : q + th, q : q + w]
+            skw[key] = jnp.asarray(cpad_owned)
+        cost_k, grad_k = pallas_data_term_cost_and_grad(
+            jnp.asarray(xp), jnp.asarray(obs_pad), shifts, kernel, s, tile=8,
+            interpret=True, origin=(r0, -q), global_hw=(h, w),
+            data_mask_lr=jnp.asarray(mask), **skw,
+        )
+        cost_sum += float(cost_k)
+        glo, ghi = max(r0, 0), min(r0 + th + 2 * q, h)
+        canvas[:, glo:ghi, :] += np.asarray(grad_k)[:, glo - r0 : ghi - r0, q : q + w]
+
+    # The kernel's cost accumulator is f32 (per-tile SMEM partials): the
+    # shard split changes reduction order at f32 precision.
+    assert abs(cost_sum - float(cost_full)) < 1e-6 * max(1.0, abs(float(cost_full)))
+    assert matrices_equal(canvas, np.asarray(grad_full), 1e-9)

@@ -319,3 +319,69 @@ def test_irls_solver_routes_frame_mesh_through_fused_kernel():
     p_ref = float(psnr(ref, np.asarray(gt)))
     p_sh = float(psnr(sharded, np.asarray(gt)))
     assert abs(p_ref - p_sh) < 0.1, (p_ref, p_sh)
+
+
+def test_band_sharded_tv3d_c_local_one():
+    """C == band-axis size: ONE real band + the spectral halo per shard —
+    exercises the ``c_loc == 1`` branch of _spectral_halo_return and the
+    kernel's minimum-channel halo path (ADVICE r2)."""
+    x, obs, shifts_np, kernel = _problem(c=4)
+    mesh = make_mesh({BAND_AXIS: 4}, jax.devices()[:4])
+    regs = _regs_for("tv3d")
+    weights = (jnp.asarray(np.random.default_rng(75).random(x.shape), jnp.float32),)
+
+    vg_single = make_map_value_and_grad(
+        obs, jnp.asarray(shifts_np, jnp.float32), jnp.asarray(kernel), 2,
+        regs, static_shifts=shifts_np, use_pallas=True,
+    )
+    vg_sharded = make_band_sharded_pallas_vg(mesh, obs, shifts_np, kernel, 2, regs)
+    c_ref, g_ref = vg_single(x, weights)
+    c_s, g_s = vg_sharded(x, weights)
+    assert abs(float(c_s) - float(c_ref)) < 1e-4 * max(1.0, abs(float(c_ref)))
+    assert matrices_equal(np.asarray(g_s), np.asarray(g_ref), 1e-5)
+    # Phase-plane IO over the same halo ring.
+    vg_pl = make_band_sharded_pallas_vg(
+        mesh, obs, shifts_np, kernel, 2, regs, phase_io=True
+    )
+    c_pp, g_pp = vg_pl.prepare(weights)(vg_pl.to_planes(x))
+    assert abs(float(c_pp) - float(c_s)) < 1e-5 * max(1.0, abs(float(c_s)))
+    assert matrices_equal(
+        np.asarray(vg_pl.from_planes(g_pp)), np.asarray(g_s), 1e-5
+    )
+
+
+def test_band_sharded_explicit_tile_validated_for_halo():
+    """A pinned tile sized without the spectral-halo channel must be rejected
+    up front instead of blowing scoped VMEM at run time (ADVICE r2)."""
+    x, obs, shifts_np, kernel = _problem(c=8)
+    mesh = make_mesh({BAND_AXIS: 2}, jax.devices()[:2])
+    regs = _regs_for("tv3d")
+    with pytest.raises(ValueError, match="scoped limit"):
+        make_band_sharded_pallas_vg(
+            mesh, obs, shifts_np, kernel, 2, regs, pallas_tile=(1024, 2048)
+        )
+
+
+@pytest.mark.parametrize("reg_kind,expected_ar,expected_cp", [
+    ("tv", 1, 0),    # band-separable: ONE cost psum per evaluation
+    ("tv3d", 1, 2),  # + the one-band spectral halo ring (in + grad back)
+])
+def test_band_sharded_collective_counts(reg_kind, expected_ar, expected_cp):
+    """The collective schedule is part of the design contract (SURVEY §2b:
+    one scalar psum per evaluation on band meshes; 3D TV adds exactly two
+    one-band ppermutes). Count collectives in the optimized HLO so the
+    schedule cannot silently regress."""
+    x, obs, shifts_np, kernel = _problem()
+    mesh = make_mesh({BAND_AXIS: 4}, jax.devices()[:4])
+    regs = _regs_for(reg_kind)
+    weights = (jnp.ones_like(x),)
+    vg = make_band_sharded_pallas_vg(mesh, obs, shifts_np, kernel, 2, regs)
+
+    fn = jax.jit(lambda xx: vg(xx, weights))
+    hlo = fn.lower(x).compile().as_text()
+    n_all_reduce = hlo.count("all-reduce-start") or hlo.count("all-reduce(")
+    n_permute = hlo.count("collective-permute-start") or hlo.count(
+        "collective-permute("
+    )
+    assert n_all_reduce == expected_ar, hlo[:0] or (n_all_reduce, expected_ar)
+    assert n_permute == expected_cp, (n_permute, expected_cp)

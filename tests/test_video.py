@@ -50,3 +50,15 @@ def test_video_super_resolver(frame_dir):
     out = resolver.super_resolve_frame(frames, 1)
     assert out.shape == (1, 56, 56)
     assert np.isfinite(out).all()
+
+
+def test_play_original_video_headless(frame_dir, monkeypatch):
+    """PlayOriginalVideo parity (video_loader.cpp:62-77): headless runs write
+    the 1000x600-resized frames instead of opening a window."""
+    monkeypatch.delenv("DISPLAY", raising=False)
+    loader = VideoLoader()
+    loader.load_frames_from_directory(frame_dir)
+    paths = loader.play_original_video()
+    assert paths is not None and len(paths) == 4
+    frame = cv2.imread(paths[0])
+    assert frame.shape[:2] == (600, 1000)
