@@ -169,8 +169,8 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
         if iters and elapsed > 0:
             mpix_iters = iters * arr.size / elapsed / 1e6
             print(
-                f"Solve throughput: {mpix_iters:.1f} Mpixel-iters/s "
-                f"({iters} inner iterations over {arr.size / 1e6:.2f} Mpixels; "
+                f"Solve throughput: {mpix_iters:.4g} Mpixel-iters/s "
+                f"({iters} inner iterations over {arr.size / 1e6:.4g} Mpixels; "
                 "includes compile time on a cold cache)."
             )
     return result

@@ -256,10 +256,32 @@ class IRLSMapSolver(MapSolverBase):
                 ROW_AXIS in mesh.axis_names or COL_AXIS in mesh.axis_names
             )
             if self._spatial_mesh:
+                from super_resolution_tpu.parallel.mesh import (
+                    BAND_AXIS,
+                    FRAME_AXIS,
+                )
+
+                sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
                 row = ROW_AXIS if ROW_AXIS in mesh.axis_names else None
                 col = COL_AXIS if COL_AXIS in mesh.axis_names else None
+                # Composite spatial meshes (row x col x frame/band): shard
+                # the observation stack on every participating axis the
+                # shapes allow (non-divisible axes stay replicated and the
+                # solve falls back accordingly).
+                frame = (
+                    FRAME_AXIS
+                    if FRAME_AXIS in mesh.axis_names
+                    and self.observations.shape[0] % sizes[FRAME_AXIS] == 0
+                    else None
+                )
+                band = (
+                    BAND_AXIS
+                    if BAND_AXIS in mesh.axis_names
+                    and self.observations.shape[1] % sizes[BAND_AXIS] == 0
+                    else None
+                )
                 self.observations = jax.device_put(
-                    self.observations, named_sharding(mesh, None, None, row, col)
+                    self.observations, named_sharding(mesh, frame, band, row, col)
                 )
             else:
                 from super_resolution_tpu.parallel.data_parallel import (
@@ -296,9 +318,11 @@ class IRLSMapSolver(MapSolverBase):
         if mesh is not None:
             from super_resolution_tpu.parallel.mesh import FRAME_AXIS, named_sharding
 
+            sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
             frame = (
                 FRAME_AXIS
-                if FRAME_AXIS in mesh.axis_names and not self._spatial_mesh
+                if FRAME_AXIS in mesh.axis_names
+                and k % sizes[FRAME_AXIS] == 0
                 else None
             )
             self.shifts = jax.device_put(
@@ -447,7 +471,7 @@ class IRLSMapSolver(MapSolverBase):
     # ------------------------------------------------------------------ internals
 
     def _has_frame_mesh(self) -> bool:
-        if self.mesh is None or self._spatial_mesh:
+        if self.mesh is None:
             return False
         from super_resolution_tpu.parallel.mesh import FRAME_AXIS
 
@@ -523,8 +547,14 @@ class IRLSMapSolver(MapSolverBase):
             from super_resolution_tpu.ops.tv import TotalVariationRegularizer
             from super_resolution_tpu.parallel.halo import (
                 make_tiled_map_value_and_grad,
+                make_tiled_pallas_vg,
             )
-            from super_resolution_tpu.parallel.mesh import COL_AXIS, ROW_AXIS
+            from super_resolution_tpu.parallel.mesh import (
+                BAND_AXIS,
+                COL_AXIS,
+                FRAME_AXIS,
+                ROW_AXIS,
+            )
 
             axis_sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
             spatial_only = all(
@@ -548,6 +578,81 @@ class IRLSMapSolver(MapSolverBase):
                 and (h_hr // n_row) % scale == 0
                 and (w_hr // n_col) % scale == 0
             )
+            # Fused-kernel tiled path: every (row, col) shard runs the Pallas
+            # kernel in shard mode — including composite row x col x frame
+            # (shift-generic kernel) and row x col x band meshes. Falls back
+            # to the traced tiled objective below when ineligible.
+            n_frame = axis_sizes.get(FRAME_AXIS, 1)
+            n_band = axis_sizes.get(BAND_AXIS, 1)
+            pallas_spatial_ok = (
+                opts.use_pallas_data_term
+                and regs_ok
+                and shapes_ok
+                and channels_per_split % n_band == 0
+                and self.observations.shape[0] % n_frame == 0
+                and (n_frame == 1 or opts.pallas_shift_bound > 0.0)
+            )
+            if pallas_spatial_ok:
+                mesh = self.mesh
+                image_shape = (h_hr, w_hr)
+                bound = opts.pallas_shift_bound if (
+                    n_frame > 1 or opts.pallas_shift_bound > 0.0
+                ) else 0.0
+                phase_io = self._phase_io_ok(regs)
+                static_np = np.asarray(self.shifts)
+
+                def inner_spatial_pallas(x0, observations, shifts, weights):
+                    vg = make_tiled_pallas_vg(
+                        mesh, observations,
+                        shifts if bound > 0.0 else static_np,
+                        kernel, scale, regs, image_shape=image_shape,
+                        shift_bound=bound, pallas_tile=opts.pallas_tile,
+                        phase_io=phase_io,
+                    )
+                    result = minimize(
+                        vg.prepare(weights),
+                        vg.to_planes(x0) if phase_io else x0,
+                        method=opts.least_squares_solver,
+                        max_iterations=opts.max_num_solver_iterations,
+                        gradient_norm_threshold=opts.gradient_norm_threshold,
+                        cost_decrease_threshold=opts.cost_decrease_threshold,
+                        parameter_variation_threshold=opts.parameter_variation_threshold,
+                        memory=opts.num_lbfgs_hessian_corrections,
+                        log_iterations=self.verbose,
+                    )
+                    if phase_io:
+                        result = result._replace(x=vg.from_planes(result.x))
+                    return result
+
+                return jax.jit(inner_spatial_pallas)
+            if opts.use_pallas_data_term:
+                reasons = []
+                if not regs_ok:
+                    reasons.append(
+                        "regularizers not tileable (need exactly <=1 2D TV "
+                        "or BTV term)"
+                    )
+                if not shapes_ok:
+                    reasons.append(
+                        f"HR shape {(h_hr, w_hr)} not divisible into "
+                        f"{n_row}x{n_col} scale-aligned tiles"
+                    )
+                if channels_per_split % n_band:
+                    reasons.append(
+                        f"{channels_per_split} channels not divisible by the "
+                        f"band axis ({n_band})"
+                    )
+                if self.observations.shape[0] % n_frame:
+                    reasons.append(
+                        f"{self.observations.shape[0]} frames not divisible "
+                        f"by the frame axis ({n_frame})"
+                    )
+                if n_frame > 1 and not opts.pallas_shift_bound > 0.0:
+                    reasons.append(
+                        "frame axis needs the shift-generic kernel "
+                        "(pallas_shift_bound > 0; AUTO selects it)"
+                    )
+                _warn_mesh_fallback("fused-Pallas tiled", reasons)
             if not (spatial_only and regs_ok and shapes_ok):
                 reasons = []
                 if not spatial_only:
@@ -814,9 +919,16 @@ class IRLSMapSolver(MapSolverBase):
             )
 
             if self._spatial_mesh:
+                sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
                 row = ROW_AXIS if ROW_AXIS in self.mesh.axis_names else None
                 col = COL_AXIS if COL_AXIS in self.mesh.axis_names else None
-                x0 = jax.device_put(x0, named_sharding(self.mesh, None, row, col))
+                band = (
+                    BAND_AXIS
+                    if BAND_AXIS in self.mesh.axis_names
+                    and x0.shape[0] % sizes[BAND_AXIS] == 0
+                    else None
+                )
+                x0 = jax.device_put(x0, named_sharding(self.mesh, band, row, col))
             else:
                 band = BAND_AXIS if BAND_AXIS in self.mesh.axis_names else None
                 x0 = jax.device_put(

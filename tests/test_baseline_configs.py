@@ -131,3 +131,52 @@ def test_wavelet_domain_tiled_16_frame_solve():
     # ~10 dB for the reference's original-shift formulation); expect a
     # recognizable reconstruction, not exactness.
     assert float(psnr(np.asarray(recon), np.asarray(hr))) > 15.0
+
+
+def test_wavelet_domain_tiled_irls_solver():
+    """BASELINE config 5 through the PRODUCTION solver (VERDICT r2 #4):
+    the four subbands stacked as channels of ONE IRLSMapSolver solve on a
+    row x col mesh — routed through the fused-kernel tiled objective
+    (make_tiled_pallas_vg) rather than hand-built minimize() calls."""
+    import cv2
+
+    from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+    from super_resolution_tpu.solvers import IRLSMapSolver, IRLSMapSolverOptions
+
+    img = cv2.imread(
+        "/root/reference/test_data/dallas_qtr.jpg", cv2.IMREAD_GRAYSCALE
+    ).astype(np.float64) / 255.0
+    hr = jnp.asarray(img[64:96, 64:96])[None]
+    shifts_list = [
+        MotionShift(dx, dy) for dx in (0, -2, 2, 4) for dy in (0, -2, 2, 4)
+    ][:16]
+    seq = MotionShiftSequence(shifts_list)
+    model = ImageModel.create(ImageModelParameters(scale=2, motion_sequence=seq))
+    lr_stack = jnp.stack([model.apply(hr, k) for k in range(16)])
+
+    coeffs = wavelet_transform(lr_stack)  # each [16, 1, 8, 8]
+    stacked = jnp.concatenate(
+        [coeffs.ll, coeffs.lh, coeffs.hl, coeffs.hh], axis=1
+    )  # [16, 4, 8, 8]
+    # Subband shifts scale by 1/2 in the wavelet pyramid.
+    sub_seq = MotionShiftSequence(
+        [MotionShift(s.dx / 2.0, s.dy / 2.0) for s in shifts_list]
+    )
+    sub_model = ImageModel.create(
+        ImageModelParameters(scale=2, motion_sequence=sub_seq)
+    )
+    mesh = make_mesh({ROW_AXIS: 2, COL_AXIS: 2}, jax.devices()[:4])
+    solver = IRLSMapSolver(
+        IRLSMapSolverOptions(
+            max_num_irls_iterations=2, max_num_solver_iterations=30,
+            use_pallas_data_term=True, pallas_tile=8,
+        ),
+        sub_model, [np.asarray(f) for f in stacked], mesh=mesh,
+    )
+    solver.add_regularizer(TotalVariationRegularizer(), 1e-4)
+    out = np.asarray(solver.solve(np.zeros((4, 16, 16))))
+    recon = inverse_wavelet_transform(
+        type(coeffs)(*(jnp.asarray(out[i : i + 1]) for i in range(4)))
+    )
+    assert recon.shape == (1, 32, 32)
+    assert float(psnr(np.asarray(recon), np.asarray(hr))) > 15.0
