@@ -44,6 +44,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Perf-attribution switch (experiments/tpu_roofline.py ONLY): skip every
+# in-kernel global-extent mask (computation AND multiply). Numerically wrong
+# at image borders — never enable outside controlled measurements.
+_PERF_SKIP_EXTENT_MASKS = False
+
 __all__ = [
     "pallas_data_term_cost_and_grad",
     "pack_tv_constants",
@@ -821,12 +826,17 @@ def pallas_data_term_cost_and_grad(
         def extent_mask(size_r, size_c, start_hr_r, start_hr_c, step):
             # Mask of global-extent validity for a phase plane whose element i
             # sits at global HR coord start + step*i along each axis.
+            if _PERF_SKIP_EXTENT_MASKS:
+                return None  # perf attribution only; callers skip the multiply
             rid = jax.lax.broadcasted_iota(jnp.int32, (size_r, size_c), 0)
             cid = jax.lax.broadcasted_iota(jnp.int32, (size_r, size_c), 1)
             rr = start_hr_r + step * rid
             cc = start_hr_c + step * cid
             valid = (rr >= 0) & (rr < h_glob) & (cc >= 0) & (cc < w_glob)
             return valid.astype(dtype)
+
+        def apply_mask(val, m):
+            return val if m is None else val * m[None]
 
         mask_t = mw_ref[0]
         grad_out = [[None for _ in range(s)] for _ in range(s)]
@@ -933,7 +943,7 @@ def pallas_data_term_cost_and_grad(
                             t0c - p_ext - s * za + psc,
                             s,
                         )
-                        z1[(psr, psc)] = acc * m[None]
+                        z1[(psr, psc)] = apply_mask(acc, m)
             else:
                 for psr in range(s):
                     for psc in range(s):
@@ -958,7 +968,7 @@ def pallas_data_term_cost_and_grad(
                             t0c - p_ext - s * za + psc,
                             s,
                         )
-                        z1[(psr, psc)] = acc * m[None]
+                        z1[(psr, psc)] = apply_mask(acc, m)
 
             # Stage 2: blur straight onto the decimated (EXT) grid.
             z = None
@@ -1019,9 +1029,9 @@ def pallas_data_term_cost_and_grad(
                         ng1r, ng1c, t0r - s * ga + psr, t0c - s * ga + psc, s
                     )
                     if dynamic:
-                        g1_ref[psr * s + psc] = total * m[None]
+                        g1_ref[psr * s + psc] = apply_mask(total, m)
                     else:
-                        g1[(psr, psc)] = total * m[None]
+                        g1[(psr, psc)] = apply_mask(total, m)
 
             # Adjoint stage 2: reverse warp into the gradient's phase planes.
             if dynamic:

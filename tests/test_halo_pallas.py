@@ -59,7 +59,14 @@ def _regs_for(kind):
 @pytest.mark.parametrize("reg_kind", ["none", "tv", "btv"])
 @pytest.mark.parametrize("dynamic", [False, True])
 def test_tiled_pallas_vg_matches_single_device(reg_kind, dynamic):
-    x, obs, shifts_np, kernel = _problem(frac=dynamic)
+    # Fractional shifts exercise the bilinear warp taps on both paths. The
+    # REFERENCE side is always the shift-SPECIALIZED single-device kernel
+    # (fractional taps baked at trace time) — so dynamic=True is a
+    # cross-path check of the shift-generic tiled kernel against it, and
+    # the k=2 frame cut keeps the interpret-mode runtime bounded (the
+    # runtime-tap kernel is by far the slowest CPU-interpret path).
+    k = 2 if dynamic else 4
+    x, obs, shifts_np, kernel = _problem(frac=dynamic, k=k)
     mesh = make_mesh({ROW_AXIS: 2, COL_AXIS: 2}, jax.devices()[:4])
     regs = _regs_for(reg_kind)
     weights = (
@@ -70,8 +77,7 @@ def test_tiled_pallas_vg_matches_single_device(reg_kind, dynamic):
 
     vg_single = make_map_value_and_grad(
         obs, jnp.asarray(shifts_np), jnp.asarray(kernel), 2, regs,
-        static_shifts=None if dynamic else shifts_np, use_pallas=True,
-        pallas_shift_bound=2.0 if dynamic else 0.0,
+        static_shifts=shifts_np, use_pallas=True,
     )
     c_ref, g_ref = vg_single(x, weights)
 
@@ -80,26 +86,30 @@ def test_tiled_pallas_vg_matches_single_device(reg_kind, dynamic):
         image_shape=x.shape[-2:], shift_bound=2.0 if dynamic else 0.0,
         pallas_tile=8,
     )
-    c_t, g_t = vg_tiled(x, weights)
+    # prepare() is the production inner-solve path (packed constants).
+    c_t, g_t = vg_tiled.prepare(weights)(x)
     assert abs(float(c_t) - float(c_ref)) < 1e-5 * max(1.0, abs(float(c_ref)))
     assert matrices_equal(np.asarray(g_t), np.asarray(g_ref), 1e-8)
 
-    # prepare() (packed constants, the production inner-solve path) agrees.
-    c_p, g_p = vg_tiled.prepare(weights)(x)
-    assert abs(float(c_p) - float(c_t)) < 1e-9 * max(1.0, abs(float(c_t)))
-    assert matrices_equal(np.asarray(g_p), np.asarray(g_t), 1e-10)
+    if not dynamic:
+        # Unpacked entry point agrees with prepare() exactly.
+        c_p, g_p = vg_tiled(x, weights)
+        assert abs(float(c_p) - float(c_t)) < 1e-9 * max(1.0, abs(float(c_t)))
+        assert matrices_equal(np.asarray(g_p), np.asarray(g_t), 1e-10)
 
-    # Phase-plane solver state: halo exchanged in plane space.
-    vg_pl = make_tiled_pallas_vg(
-        mesh, obs, shifts_np, kernel, 2, regs,
-        image_shape=x.shape[-2:], shift_bound=2.0 if dynamic else 0.0,
-        pallas_tile=8, phase_io=True,
-    )
-    c_pp, g_pp = vg_pl.prepare(weights)(vg_pl.to_planes(x))
-    assert abs(float(c_pp) - float(c_t)) < 1e-5 * max(1.0, abs(float(c_t)))
-    assert matrices_equal(
-        np.asarray(vg_pl.from_planes(g_pp)), np.asarray(g_t), 1e-8
-    )
+    if not dynamic or reg_kind == "tv":
+        # Phase-plane solver state: halo exchanged in plane space (one
+        # dynamic combo suffices — the plane plumbing is reg-independent).
+        vg_pl = make_tiled_pallas_vg(
+            mesh, obs, shifts_np, kernel, 2, regs,
+            image_shape=x.shape[-2:], shift_bound=2.0 if dynamic else 0.0,
+            pallas_tile=8, phase_io=True,
+        )
+        c_pp, g_pp = vg_pl.prepare(weights)(vg_pl.to_planes(x))
+        assert abs(float(c_pp) - float(c_t)) < 1e-5 * max(1.0, abs(float(c_t)))
+        assert matrices_equal(
+            np.asarray(vg_pl.from_planes(g_pp)), np.asarray(g_t), 1e-8
+        )
 
 
 def test_tiled_pallas_vg_spatial_x_frame():
@@ -110,9 +120,11 @@ def test_tiled_pallas_vg_spatial_x_frame():
                      jax.devices()[:8])
     regs = _regs_for("tv")
     weights = (jnp.asarray(np.random.default_rng(83).random(x.shape), jnp.float64),)
+    # Reference: the shift-SPECIALIZED single-device kernel on the same
+    # fractional shifts (cross-path check; also much faster to interpret).
     vg_single = make_map_value_and_grad(
         obs, jnp.asarray(shifts_np), jnp.asarray(kernel), 2, regs,
-        static_shifts=None, use_pallas=True, pallas_shift_bound=2.0,
+        static_shifts=shifts_np, use_pallas=True,
     )
     c_ref, g_ref = vg_single(x, weights)
     vg_tiled = make_tiled_pallas_vg(

@@ -86,7 +86,7 @@ def test_spatial_mesh_pallas_routing_parity(reg_kind):
     from super_resolution_tpu.parallel import COL_AXIS, ROW_AXIS
 
     rng = np.random.default_rng(11)
-    hr = jnp.asarray(rng.random((1, 16, 32)), jnp.float64)
+    hr = jnp.asarray(rng.random((1, 16, 16)), jnp.float64)
     seq = MotionShiftSequence(
         [MotionShift(0, 0), MotionShift(1, 1), MotionShift(-1, 0), MotionShift(0.5, -0.5)]
     )
@@ -94,7 +94,9 @@ def test_spatial_mesh_pallas_routing_parity(reg_kind):
         ImageModelParameters(scale=2, blur_radius=3, blur_sigma=1.0, motion_sequence=seq)
     )
     obs = [np.asarray(model.apply(hr, k)) for k in range(4)]
-    mesh = make_mesh({ROW_AXIS: 2, COL_AXIS: 4})
+    # 2x2 (4 shards): the test cost is per-shard SPMD compile of the
+    # interpret-mode kernel, linear in shard count (8 shards took ~100 s).
+    mesh = make_mesh({ROW_AXIS: 2, COL_AXIS: 2}, jax.devices()[:4])
     reg = (
         TotalVariationRegularizer()
         if reg_kind == "tv"
@@ -112,15 +114,20 @@ def test_spatial_mesh_pallas_routing_parity(reg_kind):
     try:
         results = {}
         for label, m in (("single", None), ("tiled", mesh)):
+            # Short inner solves, and the single-device REFERENCE runs the
+            # traced objective (same math to f64 precision; kernel-vs-kernel
+            # parity is test_halo_pallas' job): the expensive part of this
+            # test is compiling the interpret-mode kernel solve, so only the
+            # mesh side — the path under test — pays it.
             solver = IRLSMapSolver(
                 IRLSMapSolverOptions(
-                    max_num_irls_iterations=3, use_pallas_data_term=True,
-                    pallas_tile=8,
+                    max_num_irls_iterations=2, max_num_solver_iterations=8,
+                    use_pallas_data_term=m is not None, pallas_tile=8,
                 ),
                 model, obs, mesh=m,
             )
             solver.add_regularizer(reg, 0.001)
-            results[label] = np.asarray(solver.solve(np.zeros((1, 16, 32))))
+            results[label] = np.asarray(solver.solve(np.zeros((1, 16, 16))))
     finally:
         halo_mod.make_tiled_pallas_vg = orig
     assert calls["n"] >= 1  # the mesh solve actually took the fused path
@@ -147,9 +154,13 @@ def test_spatial_x_frame_mesh_solver_parity():
     mesh = make_mesh({ROW_AXIS: 2, COL_AXIS: 2, FRAME_AXIS: 2})
     results = {}
     for label, m in (("single", None), ("tiled", mesh)):
+        # Single-device reference = traced objective; only the mesh side
+        # compiles the (slow on CPU) shift-generic interpret kernel — see
+        # test_spatial_mesh_pallas_routing_parity.
         solver = IRLSMapSolver(
             IRLSMapSolverOptions(
-                max_num_irls_iterations=2, use_pallas_data_term=True,
+                max_num_irls_iterations=2, max_num_solver_iterations=6,
+                use_pallas_data_term=m is not None,
                 pallas_tile=8, pallas_shift_bound=2.0,
             ),
             model, obs, mesh=m,
