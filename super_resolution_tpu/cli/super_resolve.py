@@ -70,6 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="The least squares solver to use.")
     p.add_argument("--solver_iterations", type=int, default=50,
                    help="The maximum number of solver iterations.")
+    p.add_argument("--gradient_norm_threshold", type=float, default=1e-6,
+                   help="Inner-solver stop threshold (adaptively scaled up by "
+                        "n_params x sum(lambda), map_solver.cpp:16-26). 0 "
+                        "disables; pair all three 0s with --solver_iterations "
+                        "for fixed-iteration benchmarking.")
+    p.add_argument("--cost_decrease_threshold", type=float, default=1e-6,
+                   help="Inner-solver stop threshold (see above).")
+    p.add_argument("--parameter_variation_threshold", type=float, default=1e-6,
+                   help="Inner-solver stop threshold (see above).")
     p.add_argument("--diff_mode", default="analytic", choices=["analytic", "autodiff"],
                    help="Gradient mode: reference-parity analytic chain or jax.grad.")
     # Production kernel routing (default 'auto' = the fused Pallas/phase-plane
@@ -95,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
     # Evaluation and output:
     p.add_argument("--verbose", action="store_true",
                    help="Solver will log progress and image stats will be printed.")
+    p.add_argument("--benchmark_repeats", type=int, default=1,
+                   help="Run the solve N times (the built executable is "
+                        "cached, so repeats > 1 measure the warmed "
+                        "production path; the LAST repeat's stats are "
+                        "reported). Benchmarking aid, default 1.")
     p.add_argument("--evaluators", default="",
                    help="Comma-delimited evaluation metrics (e.g. 'psnr,ssim').")
     p.add_argument("--display_mode", default="", choices=["", "result", "compare"],
@@ -120,6 +134,9 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
         least_squares_solver=args.solver,
         max_num_solver_iterations=args.solver_iterations,
         max_num_irls_iterations=args.optimization_iterations,
+        gradient_norm_threshold=args.gradient_norm_threshold,
+        cost_decrease_threshold=args.cost_decrease_threshold,
+        parameter_variation_threshold=args.parameter_variation_threshold,
         diff_mode=args.diff_mode,
         split_channels=args.split_channels,
         # AUTO (None) routes the production fused-Pallas/phase-plane path on
@@ -162,6 +179,13 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
     start = time.perf_counter()
     result = solver.solve(initial_estimate)
     elapsed = time.perf_counter() - start
+    for _ in range(max(0, args.benchmark_repeats - 1)):
+        # Warmed repeats: the built inner executable is cached, so these
+        # measure the steady-state production path (video windows, repeated
+        # solves). The last repeat's stats win.
+        start = time.perf_counter()
+        result = solver.solve(initial_estimate)
+        elapsed = time.perf_counter() - start
     if args.verbose:
         print(f"Done! Finished in {elapsed:.3f} seconds.")
         iters = getattr(solver, "last_inner_iterations", 0)
@@ -171,8 +195,22 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
             print(
                 f"Solve throughput: {mpix_iters:.4g} Mpixel-iters/s "
                 f"({iters} inner iterations over {arr.size / 1e6:.4g} Mpixels; "
-                "includes compile time on a cold cache)."
+                "includes one-time jit trace/compile)."
             )
+        calls = getattr(solver, "last_inner_calls", [])
+        if len(calls) > 1:
+            # Call 0 carries the one-time jit trace + compile(-cache load);
+            # the rest is what a warmed service (video windows, repeated
+            # solves — the executable is cached module-wide) sustains.
+            warm_s = sum(t for t, _ in calls[1:])
+            warm_it = sum(n for _, n in calls[1:])
+            if warm_it and warm_s > 0:
+                print(
+                    f"Steady-state solve throughput: "
+                    f"{warm_it * arr.size / warm_s / 1e6:.4g} Mpixel-iters/s "
+                    f"({warm_it} iterations after the first inner solve; "
+                    f"build cost was {calls[0][0]:.2f} s)."
+                )
     return result
 
 

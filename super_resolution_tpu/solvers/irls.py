@@ -24,6 +24,8 @@ inside the data term is a vmap (the reference's serial ``for image_index``).
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 import jax
@@ -238,6 +240,7 @@ class IRLSMapSolver(MapSolverBase):
         self.options = options
         self.mesh = mesh
         self.last_inner_iterations = 0
+        self.last_inner_calls: list[tuple[float, int]] = []
         # Built inner solvers, keyed by (split, options): repeated solve()
         # calls (video sliding windows, IRLS restarts) must reuse the jitted
         # executable — rebuilding the jit wrapper per call forces a full
@@ -389,6 +392,7 @@ class IRLSMapSolver(MapSolverBase):
         # channel rounds + IRLS iterations) — lets callers (the CLI's
         # verbose mode) report Mpixel-iterations/s for the actual solve.
         self.last_inner_iterations = 0
+        self.last_inner_calls = []
 
         results = []
         kern = self.blur_kernel
@@ -956,8 +960,16 @@ class IRLSMapSolver(MapSolverBase):
             if self.verbose:
                 print(f"Resumed IRLS from {checkpoint_path} at iteration {iteration}.")
         while True:
+            t_inner = time.perf_counter()
             result = inner(x, observations, self.shifts, weights)
+            jax.block_until_ready(result.x)
             x, cost = result.x, float(result.cost)
+            # Per-inner-call stats: call 0 includes the one-time jit trace +
+            # compile(-cache load); later calls are steady-state device time.
+            # The CLI's verbose throughput report uses this split.
+            self.last_inner_calls.append(
+                (time.perf_counter() - t_inner, int(result.iterations))
+            )
             self.last_inner_iterations += int(result.iterations)
             if not regs:
                 if self.verbose:
