@@ -41,11 +41,27 @@ _COMPLEX_FFT_ON_DEVICE: bool | None = None
 def _complex_fft_supported() -> bool:
     global _COMPLEX_FFT_ON_DEVICE
     if _COMPLEX_FFT_ON_DEVICE is None:
+        # The axon tunnel is identified by NAME, not probed: it implements
+        # fft2 but not complex exp/matmul, and — measured — a single
+        # UNIMPLEMENTED op POISONS the client (every later device_put fails),
+        # so an on-device op probe is not safe there. Real TPUs/CPU/GPU all
+        # support the full complex pipeline.
         try:
-            jax.block_until_ready(jnp.fft.fft2(jnp.ones((4, 4), jnp.float32)))
-            _COMPLEX_FFT_ON_DEVICE = True
-        except Exception:  # noqa: BLE001 — any backend failure means "no"
-            _COMPLEX_FFT_ON_DEVICE = False
+            from jax._src import xla_bridge
+
+            version = xla_bridge.get_backend().platform_version
+            _COMPLEX_FFT_ON_DEVICE = "axon" not in version.lower()
+        except Exception:  # noqa: BLE001 — unknown backend: op-probe it
+            try:
+                z = jnp.fft.fft2(jnp.ones((4, 4), jnp.float32))
+                k = jnp.exp(2j * jnp.pi * jnp.outer(jnp.arange(4.0),
+                                                    jnp.fft.fftfreq(4)))
+                jax.block_until_ready(
+                    jnp.argmax(jnp.abs(jnp.fft.ifft2(k @ (z * jnp.conj(z)))))
+                )
+                _COMPLEX_FFT_ON_DEVICE = True
+            except Exception:  # noqa: BLE001
+                _COMPLEX_FFT_ON_DEVICE = False
     return _COMPLEX_FFT_ON_DEVICE
 
 
