@@ -202,14 +202,16 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
             # Call 0 carries the one-time jit trace + compile(-cache load);
             # the rest is what a warmed service (video windows, repeated
             # solves — the executable is cached module-wide) sustains.
-            warm_s = sum(t for t, _ in calls[1:])
-            warm_it = sum(n for _, n in calls[1:])
+            warm_s = sum(c[0] for c in calls[1:])
+            warm_it = sum(c[1] for c in calls[1:])
+            warm_ev = sum(c[2] for c in calls[1:])
             if warm_it and warm_s > 0:
                 print(
                     f"Steady-state solve throughput: "
                     f"{warm_it * arr.size / warm_s / 1e6:.4g} Mpixel-iters/s "
-                    f"({warm_it} iterations after the first inner solve; "
-                    f"build cost was {calls[0][0]:.2f} s)."
+                    f"({warm_it} iterations / {warm_ev} objective evaluations "
+                    f"after the first inner solve; build cost was "
+                    f"{calls[0][0]:.2f} s)."
                 )
     return result
 

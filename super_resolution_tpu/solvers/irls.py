@@ -457,9 +457,12 @@ class IRLSMapSolver(MapSolverBase):
             )
             if opts.fused_irls:
                 x, cost, its = inner(x0, obs, self.shifts)
-                self.last_inner_iterations += int(its)
+                # One batched readback (see _run_irls_loop: per-scalar
+                # device_get costs ~25 ms RPC latency through the tunnel).
+                cost_v, its_v = jax.device_get((cost, its))
+                self.last_inner_iterations += int(its_v)
                 if self.verbose:
-                    print(f"Fused IRLS round {i} done; final loss {float(cost)}.")
+                    print(f"Fused IRLS round {i} done; final loss {float(cost_v)}.")
             else:
                 x = self._run_irls_loop(inner, x0, obs, opts, ckpt, resume)
             results.append(x)
@@ -904,6 +907,29 @@ class IRLSMapSolver(MapSolverBase):
             reg, (TotalVariationRegularizer, BilateralTotalVariationRegularizer)
         )
 
+    def _reweight_fn(self, regs):
+        """One JITTED program for the IRLS reweight ``w = 1/max(1e-5, r(x))``.
+
+        Computed eagerly, the residual chain is ~8 separate device dispatches
+        per regularizer; through the remote tunnel each costs milliseconds of
+        latency that lands inside the NEXT inner solve's wall time (measured
+        ~30 ms of a 60 ms warm 50-iteration solve call — the jitted form is
+        one dispatch). Cached per regularizer signature alongside the inner
+        solvers; sharded ``x`` propagates its sharding through the jit."""
+        key = ("reweight", _regs_signature(regs))
+        fn = self._inner_cache.get(key)
+        if fn is None:
+            regs = tuple(regs)
+
+            def reweight(x):
+                return tuple(
+                    1.0 / jnp.maximum(_MIN_RESIDUAL, reg.residuals(x))
+                    for reg, _ in regs
+                )
+
+            fn = self._inner_cache[key] = jax.jit(reweight)
+        return lambda x: fn(x)
+
     def _run_irls_loop(self, inner, x0, observations, opts,
                        checkpoint_path=None, resume=False):
         """IRLS outer loop with optional checkpoint/resume: the state saved at
@@ -963,23 +989,26 @@ class IRLSMapSolver(MapSolverBase):
             t_inner = time.perf_counter()
             result = inner(x, observations, self.shifts, weights)
             jax.block_until_ready(result.x)
-            x, cost = result.x, float(result.cost)
-            # Per-inner-call stats: call 0 includes the one-time jit trace +
-            # compile(-cache load); later calls are steady-state device time.
-            # The CLI's verbose throughput report uses this split.
-            self.last_inner_calls.append(
-                (time.perf_counter() - t_inner, int(result.iterations))
+            t_call = time.perf_counter() - t_inner
+            # ONE batched device_get for every host-side scalar: through the
+            # remote tunnel each separate scalar readback costs ~25 ms of
+            # RPC latency (measured — comparable to the whole 50-iteration
+            # warm solve), so float(cost); int(iterations); int(evals) as
+            # separate fetches tripled the host-loop overhead.
+            cost_v, it_v, ev_v = jax.device_get(
+                (result.cost, result.iterations, result.num_evaluations)
             )
-            self.last_inner_iterations += int(result.iterations)
+            x, cost = result.x, float(cost_v)
+            # Per-inner-call stats: call 0 includes the one-time jit trace +
+            # compile(-cache load); later calls are steady-state device time
+            # (the scalar readback above is loop bookkeeping, not solve time).
+            self.last_inner_calls.append((t_call, int(it_v), int(ev_v)))
+            self.last_inner_iterations += int(it_v)
             if not regs:
                 if self.verbose:
                     print("Least squares done (no regularization terms to reweight).")
                 break
-            new_weights = []
-            for (reg, _), _w in zip(regs, weights):
-                r = reg.residuals(x)
-                new_weights.append(1.0 / jnp.maximum(_MIN_RESIDUAL, r))
-            weights = tuple(new_weights)
+            weights = self._reweight_fn(regs)(x)
             cost_difference = prev_cost - cost
             prev_cost = cost
             iteration += 1
