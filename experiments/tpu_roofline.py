@@ -16,7 +16,7 @@ Attribution experiments on top of the round-1 HBM roofline:
   - host-packing share: a jitted function that performs ONLY the host-side
     window packing (pad + overlapping-window stack of x/obs) and the grad
     tile reassembly, no kernel launch;
-  - extent-mask share: the same eval with _PERF_SKIP_EXTENT_MASKS=True
+  - extent-mask share: the same eval with skip_extent_masks=True
     (all in-kernel global-extent predicates + multiplies removed — wrong at
     borders, perf-only);
   - TV share: data-term-only vg (no fused TV);
@@ -70,13 +70,13 @@ def timeit(fn, *args, n=100, label=""):
 
 
 def build_eval(observations, shifts, kernel, scale, regs, tile, weights,
-               dtype=jnp.float32):
+               dtype=jnp.float32, skip_masks=False):
     static_shifts = np.asarray(shifts)
     vg = make_map_value_and_grad(
         observations.astype(dtype), shifts.astype(dtype),
         kernel.astype(dtype), scale, regs, max_shift=3,
         static_shifts=static_shifts, use_pallas=True, pallas_tile=tile,
-        phase_io=True,
+        phase_io=True, pallas_skip_extent_masks=skip_masks,
     )
     w = tuple(wi.astype(dtype) for wi in weights)
     return jax.jit(vg.prepare(w)), vg
@@ -197,13 +197,9 @@ def main():
     timeit(pack_only, xpl, gphases, label="host packing + grad reassembly only")
 
     # --- Attribution 2: extent masks ---
-    degrade._PERF_SKIP_EXTENT_MASKS = True
-    try:
-        prep_nm, _ = build_eval(observations, shifts, kernel, scale, regs,
-                                tile, weights)
-        timeit(prep_nm, xpl, label="T_eval WITHOUT extent masks (perf-only)")
-    finally:
-        degrade._PERF_SKIP_EXTENT_MASKS = False
+    prep_nm, _ = build_eval(observations, shifts, kernel, scale, regs,
+                            tile, weights, skip_masks=True)
+    timeit(prep_nm, xpl, label="T_eval WITHOUT extent masks (perf-only)")
 
     # --- Attribution 3: TV share (data term only) ---
     prep_dt, _ = build_eval(observations, shifts, kernel, scale, [], tile, ())

@@ -33,7 +33,6 @@ import jax.numpy as jnp
 
 from super_resolution_tpu.models import ImageModel, ImageModelParameters
 from super_resolution_tpu.motion import MotionShiftSequence
-from super_resolution_tpu.ops.pallas import degrade
 from super_resolution_tpu.ops.pallas.degrade import hr_to_planes
 from super_resolution_tpu.ops.tv import TotalVariationRegularizer
 from super_resolution_tpu.solvers import make_map_value_and_grad, minimize
@@ -45,50 +44,46 @@ ITERS = 50
 def run_variant(label, observations, shifts, kernel, scale, regs, tile,
                 weights, hr_shape, phase_io=True, skip_masks=False, reps=3):
     static_shifts = np.asarray(shifts)
-    degrade._PERF_SKIP_EXTENT_MASKS = bool(skip_masks)
-    try:
-        vg = make_map_value_and_grad(
-            observations, shifts, kernel, scale, regs, max_shift=3,
-            static_shifts=static_shifts, use_pallas=True, pallas_tile=tile,
-            phase_io=phase_io,
+    vg = make_map_value_and_grad(
+        observations, shifts, kernel, scale, regs, max_shift=3,
+        static_shifts=static_shifts, use_pallas=True, pallas_tile=tile,
+        phase_io=phase_io, pallas_skip_extent_masks=bool(skip_masks),
+    )
+
+    @jax.jit
+    def solve(x0, w):
+        prepared = vg.prepare(w)
+        return minimize(
+            prepared, x0, method="cg", max_iterations=ITERS,
+            gradient_norm_threshold=0.0, cost_decrease_threshold=0.0,
+            parameter_variation_threshold=0.0,
         )
 
-        @jax.jit
-        def solve(x0, w):
-            prepared = vg.prepare(w)
-            return minimize(
-                prepared, x0, method="cg", max_iterations=ITERS,
-                gradient_norm_threshold=0.0, cost_decrease_threshold=0.0,
-                parameter_variation_threshold=0.0,
-            )
-
-        x0 = jnp.zeros(hr_shape, jnp.float32)
-        if phase_io:
-            x0 = hr_to_planes(x0, scale)
-        t_c = time.perf_counter()
+    x0 = jnp.zeros(hr_shape, jnp.float32)
+    if phase_io:
+        x0 = hr_to_planes(x0, scale)
+    t_c = time.perf_counter()
+    result = solve(x0, weights)
+    jax.block_until_ready(result.x)
+    t_compile = time.perf_counter() - t_c
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
         result = solve(x0, weights)
         jax.block_until_ready(result.x)
-        t_compile = time.perf_counter() - t_c
-        best = np.inf
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            result = solve(x0, weights)
-            jax.block_until_ready(result.x)
-            best = min(best, time.perf_counter() - t0)
-        n_iters = int(result.iterations)
-        n_evals = int(result.num_evaluations)
-        npix = int(np.prod(hr_shape))
-        mpix = n_iters * npix / best / 1e6
-        print(
-            f"{label}: {best * 1e3:8.2f} ms solve | {best / n_iters * 1e3:6.3f} "
-            f"ms/iter | {best / n_evals * 1e3:6.3f} ms/eval-bound | "
-            f"{mpix:7.1f} Mpix-it/s | {n_evals} evals "
-            f"(compile {t_compile:.0f}s)",
-            flush=True,
-        )
-        return best, n_iters, n_evals
-    finally:
-        degrade._PERF_SKIP_EXTENT_MASKS = False
+        best = min(best, time.perf_counter() - t0)
+    n_iters = int(result.iterations)
+    n_evals = int(result.num_evaluations)
+    npix = int(np.prod(hr_shape))
+    mpix = n_iters * npix / best / 1e6
+    print(
+        f"{label}: {best * 1e3:8.2f} ms solve | {best / n_iters * 1e3:6.3f} "
+        f"ms/iter | {best / n_evals * 1e3:6.3f} ms/eval-bound | "
+        f"{mpix:7.1f} Mpix-it/s | {n_evals} evals "
+        f"(compile {t_compile:.0f}s)",
+        flush=True,
+    )
+    return best, n_iters, n_evals
 
 
 def main():

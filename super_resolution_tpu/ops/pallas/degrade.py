@@ -44,11 +44,6 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Perf-attribution switch (experiments/tpu_roofline.py ONLY): skip every
-# in-kernel global-extent mask (computation AND multiply). Numerically wrong
-# at image borders — never enable outside controlled measurements.
-_PERF_SKIP_EXTENT_MASKS = False
-
 __all__ = [
     "pallas_data_term_cost_and_grad",
     "pack_tv_constants",
@@ -234,15 +229,36 @@ def _geometry(warp_taps, warp_adj_taps, kernel, s: int, tile,
     for taps in list(warp_taps) + list(warp_adj_taps):
         for dr, dc, _ in taps:
             wr = max(wr, abs(dr), abs(dc))
-    za = (bp + s - 1) // s + 1          # z1 margin beyond EXT, in LR units
-    ga = (wr + s - 1) // s + 1          # g1 margin beyond the tile, LR units
-    pe = max((wr + bp + s - 1) // s, ga + 1)
+    # Minimal margins (round-4 audit; each is exactly the slice-bound
+    # requirement of the kernel stage it serves — the overlapping-window
+    # halo Q is the dominant HBM traffic and shrinks directly with these):
+    #   W  = ceil(wr/s): LR reach of a warp tap at any output phase
+    #        (stage-1 gather / adjoint stage-2 reverse warp; equals the
+    #        dynamic path's q_reach candidate radius).
+    #   Bp = ceil(bp/s): LR reach of a blur tap at any phase.
+    #   za >= Bp: stage-2 blur reads z1 at LR offsets za + [-Bp, Bp].
+    #   ga >= W:  both adjoint stage-2 forms read g1 at ga + [-W, W].
+    #   pe >= ga + Bp: adjoint stage-1 reads the residual (extent
+    #        tlr + 2*pe) at pe + ar - ga with ar in [-Bp, Bp].
+    #   qe >= pe + za + W: stage 1 reads the x window (extent tlr + 2*qe)
+    #        at z1off + [-W, W] with z1off = qe - pe - za, across the z1
+    #        extent tlr + 2*pe + 2*za.
+    # (Round 3 carried +1 slack on za/ga/pe and +W+2 on qe: qe was 7 vs the
+    # minimal 4 on the flagship geometry — ~10% excess window traffic.)
+    w_reach = (wr + s - 1) // s
+    b_reach = (bp + s - 1) // s
+    za = b_reach
+    ga = w_reach
+    pe = ga + b_reach
     p_ext = s * pe
-    q_halo = _round_up(p_ext + s * za + wr + s, s)
+    qe = pe + za + w_reach
     if use_btv:
+        # BTV reads x at qe - bm + [0, ceil(P/s)] over extent tlr + bm
+        # (up-left halo bm); the fused TV path needs qe >= 1 (covered:
+        # w_reach >= 1 since wr >= 1).
         bm = _btv_margin(btv_range, s)
-        q_halo = max(q_halo, s * max(bm, (btv_range + s - 1) // s, 1))
-    qe = q_halo // s
+        qe = max(qe, bm, (btv_range + s - 1) // s, 1)
+    q_halo = s * qe
     tr, tc = _tile_pair(tile, s)
     tlr_r, tlr_c = tr // s, tc // s
     nbm = _btv_margin(btv_range, s) if use_btv else 0
@@ -485,6 +501,7 @@ def pallas_data_term_cost_and_grad(
     origin: tuple[int, int] | None = None,
     global_hw: tuple[int, int] | None = None,
     data_mask_lr: np.ndarray | None = None,
+    skip_extent_masks: bool = False,
 ):
     """Fused data term: ``(cost, grad)`` of ``s^2 sum_k ||D B M_k x - y_k||^2``.
 
@@ -648,7 +665,7 @@ def pallas_data_term_cost_and_grad(
     # Margins (all static; see _geometry). wr = warp reach; P = adjoint/
     # residual extension (multiple of s); za/ga = phase-plane margins in LR
     # units; Q = window halo (multiple of s) sized so every in-kernel slice
-    # is in bounds. pe >= ga + 1 lets the adjoint's g1 slices index the
+    # is in bounds. pe >= ga + ceil(bp/s) lets the adjoint's g1 slices index the
     # residual directly (no in-kernel pad — tpu.concatenate from pads
     # crashes this Mosaic).
     use_btv = btv_constants is not None or btv_constants_packed is not None
@@ -826,8 +843,10 @@ def pallas_data_term_cost_and_grad(
         def extent_mask(size_r, size_c, start_hr_r, start_hr_c, step):
             # Mask of global-extent validity for a phase plane whose element i
             # sits at global HR coord start + step*i along each axis.
-            if _PERF_SKIP_EXTENT_MASKS:
-                return None  # perf attribution only; callers skip the multiply
+            # ``skip_extent_masks`` (perf attribution ONLY — numerically wrong
+            # at image borders) drops both the computation and the multiply.
+            if skip_extent_masks:
+                return None
             rid = jax.lax.broadcasted_iota(jnp.int32, (size_r, size_c), 0)
             cid = jax.lax.broadcasted_iota(jnp.int32, (size_r, size_c), 1)
             rr = start_hr_r + step * rid
@@ -929,7 +948,7 @@ def pallas_data_term_cost_and_grad(
                 # prefetched tap bases; LR offsets resolve via candidate
                 # selects. The margin arithmetic guarantees every candidate
                 # slice is in bounds for |shift| <= shift_bound
-                # (wr = floor(bound)+1, z1off = ceil(wr/s)+1 >= q_reach).
+                # (wr = floor(bound)+1, z1off = ceil(wr/s) = q_reach).
                 fb_r = ti_ref[k, 0]
                 fb_c = ti_ref[k, 1]
                 xw_planes = make_base_planes(read_xw, fb_r, fb_c, z1off, n1r, n1c)
@@ -1003,7 +1022,7 @@ def pallas_data_term_cost_and_grad(
                             continue  # lands between LR samples -> zero
                         # g1 plane index i covers HR v = t0 - s*ga + s*i + ps;
                         # the matching residual index is i + ar + pe - ga,
-                        # in bounds for all i because pe >= ga + 1.
+                        # in bounds for all i because pe >= ga + ceil(bp/s).
                         lo_r = pe + ar - ga
                         lo_c = pe + ac - ga
                         assert 0 <= lo_r and lo_r + ng1r <= ext_r, lo_r

@@ -134,6 +134,7 @@ def make_map_value_and_grad(
     pallas_shift_bound: float = 0.0,
     pallas_channel_block: int = 0,
     phase_io: bool = False,
+    pallas_skip_extent_masks: bool = False,
 ) -> Callable:
     """Build ``value_and_grad(x, weights) -> (cost, grad)`` for the MAP objective.
 
@@ -153,6 +154,10 @@ def make_map_value_and_grad(
     static shifts, the **shift-generic** kernel consumes the traced
     ``shifts`` argument at run time, so one compiled executable serves any
     motion with ``max(|dx|, |dy|) <= pallas_shift_bound``.
+
+    ``pallas_skip_extent_masks`` drops the kernel's global-extent masks —
+    PERF ATTRIBUTION ONLY (experiments/tpu_roofline*.py): the result is
+    numerically wrong at image borders.
     """
     if diff_mode not in ("analytic", "autodiff"):
         raise ValueError(f"Unknown diff_mode {diff_mode!r}")
@@ -252,12 +257,15 @@ def make_map_value_and_grad(
                     tile=pallas_tile, dynamic_shifts=shifts,
                     shift_bound=pallas_shift_bound,
                     channel_block=pallas_channel_block, phase_io=phase_io,
+                    skip_extent_masks=pallas_skip_extent_masks,
                     **fused_reg_kwargs,
                 )
             return pallas_data_term_cost_and_grad(
                 x, observations, static_shifts, kernel_np, scale,
                 tile=pallas_tile, channel_block=pallas_channel_block,
-                phase_io=phase_io, **fused_reg_kwargs,
+                phase_io=phase_io,
+                skip_extent_masks=pallas_skip_extent_masks,
+                **fused_reg_kwargs,
             )
         if static_shifts is not None:
             return data_term_cost_and_grad_static(
