@@ -98,6 +98,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused_irls", action="store_true",
                    help="Run the entire IRLS loop as one jitted graph (no host "
                         "round-trips; disables per-iteration logging/checkpoints).")
+    p.add_argument("--refine_motion", type=int, default=0, metavar="N",
+                   help="Every N IRLS iterations, refine the motion shifts "
+                        "against the current HR estimate (Gauss-Newton on "
+                        "the data term; recovers estimated-registration "
+                        "error). 0 = off. Pairs with --estimate_motion; the "
+                        "shift-generic kernel consumes refined shifts with "
+                        "zero recompiles.")
     # Distribution:
     p.add_argument("--num_devices", type=int, default=0,
                    help="Shard frames over this many devices (0 = single device).")
@@ -149,6 +156,7 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
         ),
         pallas_channel_block=args.pallas_channel_block,
         fused_irls=args.fused_irls,
+        refine_motion_every=max(0, args.refine_motion),
     )
     mesh = None
     if args.num_devices and args.num_devices > 1:
@@ -179,6 +187,10 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
     start = time.perf_counter()
     result = solver.solve(initial_estimate)
     elapsed = time.perf_counter() - start
+    # Build cost lives in the FIRST (cold) solve's first inner call — the
+    # warmed benchmark repeats below overwrite last_inner_calls with calls
+    # that never trace/compile.
+    cold_calls = list(getattr(solver, "last_inner_calls", []))
     for _ in range(max(0, args.benchmark_repeats - 1)):
         # Warmed repeats: the built inner executable is cached, so these
         # measure the steady-state production path (video windows, repeated
@@ -206,12 +218,13 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
             warm_it = sum(c[1] for c in calls[1:])
             warm_ev = sum(c[2] for c in calls[1:])
             if warm_it and warm_s > 0:
+                build_s = cold_calls[0][0] if cold_calls else calls[0][0]
                 print(
                     f"Steady-state solve throughput: "
                     f"{warm_it * arr.size / warm_s / 1e6:.4g} Mpixel-iters/s "
                     f"({warm_it} iterations / {warm_ev} objective evaluations "
                     f"after the first inner solve; build cost was "
-                    f"{calls[0][0]:.2f} s)."
+                    f"{build_s:.2f} s)."
                 )
     return result
 

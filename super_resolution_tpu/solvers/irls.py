@@ -83,7 +83,11 @@ def resolve_auto_options(opts, *, backend: str, shifts, frame_mesh: bool = False
         fractional = shifts_np.size > 0 and not np.array_equal(
             shifts_np, np.round(shifts_np)
         )
-        if resolved.use_pallas_data_term and (fractional or frame_mesh):
+        # Motion refinement feeds updated shifts back per IRLS iteration —
+        # they must be runtime data (every refined set would otherwise
+        # recompile the specialized kernel).
+        refining = getattr(resolved, "refine_motion_every", 0) > 0
+        if resolved.use_pallas_data_term and (fractional or frame_mesh or refining):
             max_abs = float(np.max(np.abs(shifts_np))) if shifts_np.size else 0.0
             resolved.pallas_shift_bound = float(shift_bound_bucket(max_abs))
         else:
@@ -240,7 +244,9 @@ class IRLSMapSolver(MapSolverBase):
         self.options = options
         self.mesh = mesh
         self.last_inner_iterations = 0
-        self.last_inner_calls: list[tuple[float, int]] = []
+        # (wall seconds, CG/L-BFGS iterations, objective evaluations) per
+        # inner-solver call of the last solve().
+        self.last_inner_calls: list[tuple[float, int, int]] = []
         # Built inner solvers, keyed by (split, options): repeated solve()
         # calls (video sliding windows, IRLS restarts) must reuse the jitted
         # executable — rebuilding the jit wrapper per call forces a full
@@ -387,6 +393,30 @@ class IRLSMapSolver(MapSolverBase):
                 "checkpoint seam; use the host-loop default for "
                 "checkpoint/resume."
             )
+        if getattr(opts, "refine_motion_every", 0) > 0:
+            if opts.fused_irls:
+                raise ValueError(
+                    "refine_motion_every needs the host IRLS loop (the "
+                    "refinement seam sits between inner solves); disable "
+                    "fused_irls."
+                )
+            if self.mesh is not None:
+                raise ValueError(
+                    "refine_motion_every is single-device for now (mesh "
+                    "shifts are sharded placement state)."
+                )
+            if opts.use_pallas_data_term and not opts.pallas_shift_bound > 0.0:
+                raise ValueError(
+                    "refine_motion_every requires shifts as runtime data: "
+                    "leave pallas_shift_bound AUTO (None) or set it > 0 — "
+                    "every refined shift set would recompile the "
+                    "specialized kernel."
+                )
+            if not opts.use_pallas_data_term and opts.use_static_shifts:
+                raise ValueError(
+                    "refine_motion_every is incompatible with "
+                    "use_static_shifts (shifts must stay traced arguments)."
+                )
 
         # Total inner CG/L-BFGS iterations of the last solve() call (all
         # channel rounds + IRLS iterations) — lets callers (the CLI's
@@ -437,7 +467,7 @@ class IRLSMapSolver(MapSolverBase):
                 _BUILT_SOLVER_CACHE.move_to_end(cache_key)
         if inner is None:
             if opts.fused_irls:
-                inner = self._build_fused_solver(opts)
+                inner = self._build_fused_solver(opts, channels_per_split)
             else:
                 inner = self._build_inner_solver(channels_per_split, opts)
             self._inner_cache[cache_key] = inner
@@ -456,7 +486,7 @@ class IRLSMapSolver(MapSolverBase):
                 else (f"{checkpoint_path}.npz" if checkpoint_path else None)
             )
             if opts.fused_irls:
-                x, cost, its = inner(x0, obs, self.shifts)
+                x, cost, its = inner(self._place_initial(x0), obs, self.shifts)
                 # One batched readback (see _run_irls_loop: per-scalar
                 # device_get costs ~25 ms RPC latency through the tunnel).
                 cost_v, its_v = jax.device_get((cost, its))
@@ -485,15 +515,223 @@ class IRLSMapSolver(MapSolverBase):
         sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
         return sizes.get(FRAME_AXIS, 1) > 1
 
-    def _build_fused_solver(self, opts):
+    def _mesh_pallas_vg_builder(self, opts, channels_per_split: int):
+        """Route a mesh solve onto a fused-Pallas sharded vg builder.
+
+        Returns ``(make_vg, phase_io)`` where ``make_vg(observations,
+        shifts) -> vg`` builds the right sharded objective for this mesh
+        (spatial tiled / frame-sharded / band-sharded; the vg exposes
+        ``.prepare`` and, when ``phase_io``, ``.to_planes``/``.from_planes``)
+        — or ``(None, False)``, with the fallback warning emitted, when the
+        configuration fits no fused path. Shared by the host-IRLS inner
+        solver and the fused-IRLS builder so both route identically.
+        """
+        if (
+            self.mesh is None
+            or not opts.use_pallas_data_term
+            or opts.diff_mode != "analytic"
+        ):
+            return None, False
+
+        from super_resolution_tpu.ops.btv import (
+            BilateralTotalVariationRegularizer,
+        )
+        from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+        from super_resolution_tpu.parallel.mesh import (
+            BAND_AXIS,
+            COL_AXIS,
+            FRAME_AXIS,
+            ROW_AXIS,
+        )
+
+        mesh = self.mesh
+        regs = tuple(self.regularizers)
+        kernel = self.blur_kernel
+        scale = self.scale
+        axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        n_frame = axis_sizes.get(FRAME_AXIS, 1)
+        n_band = axis_sizes.get(BAND_AXIS, 1)
+        band_divides = channels_per_split % n_band == 0
+        frames_divide = self.observations.shape[0] % n_frame == 0
+        bound = opts.pallas_shift_bound
+        phase_io = self._phase_io_ok(regs)
+        static_np = np.asarray(self.shifts)
+
+        if self._spatial_mesh:
+            # Spatial (row/col, possibly x frame/band) meshes: the fused
+            # kernel per shard with traced origins + halo exchange
+            # (parallel/halo.py). 3D spectral TV is out (band coupling +
+            # spatial tiling would need both halo systems at once).
+            regs_ok = len(regs) <= 1 and all(
+                (
+                    isinstance(r, TotalVariationRegularizer)
+                    and not getattr(r, "use_3d", False)
+                )
+                or isinstance(r, BilateralTotalVariationRegularizer)
+                for r, _ in regs
+            )
+            n_row = axis_sizes.get(ROW_AXIS, 1)
+            n_col = axis_sizes.get(COL_AXIS, 1)
+            _, h_hr, w_hr = self.hr_shape
+            shapes_ok = (
+                h_hr % n_row == 0
+                and w_hr % n_col == 0
+                and (h_hr // n_row) % scale == 0
+                and (w_hr // n_col) % scale == 0
+            )
+            eligible = (
+                regs_ok
+                and shapes_ok
+                and band_divides
+                and frames_divide
+                and (n_frame == 1 or bound > 0.0)
+            )
+            if not eligible:
+                reasons = []
+                if not regs_ok:
+                    reasons.append(
+                        "regularizers not tileable (need exactly <=1 2D TV "
+                        "or BTV term)"
+                    )
+                if not shapes_ok:
+                    reasons.append(
+                        f"HR shape {(h_hr, w_hr)} not divisible into "
+                        f"{n_row}x{n_col} scale-aligned tiles"
+                    )
+                if not band_divides:
+                    reasons.append(
+                        f"{channels_per_split} channels not divisible by the "
+                        f"band axis ({n_band})"
+                    )
+                if not frames_divide:
+                    reasons.append(
+                        f"{self.observations.shape[0]} frames not divisible "
+                        f"by the frame axis ({n_frame})"
+                    )
+                if n_frame > 1 and not bound > 0.0:
+                    reasons.append(
+                        "frame axis needs the shift-generic kernel "
+                        "(pallas_shift_bound > 0; AUTO selects it)"
+                    )
+                _warn_mesh_fallback("fused-Pallas tiled", reasons)
+                return None, False
+            from super_resolution_tpu.parallel.halo import make_tiled_pallas_vg
+
+            image_shape = (h_hr, w_hr)
+
+            def make_vg_spatial(observations, shifts):
+                return make_tiled_pallas_vg(
+                    mesh, observations,
+                    shifts if bound > 0.0 else static_np,
+                    kernel, scale, regs, image_shape=image_shape,
+                    shift_bound=bound, pallas_tile=opts.pallas_tile,
+                    phase_io=phase_io,
+                )
+
+            return make_vg_spatial, phase_io
+
+        # Non-spatial (frame/band) meshes. 3D spectral TV is band-shardable
+        # here: the builders carry a one-band ppermute halo ring
+        # (parallel/pallas_sharded.py).
+        regs_ok = len(regs) <= 1 and all(
+            isinstance(
+                r, (TotalVariationRegularizer, BilateralTotalVariationRegularizer)
+            )
+            for r, _ in regs
+        )
+        frame_eligible = (
+            n_frame > 1
+            and regs_ok
+            and band_divides
+            and bound > 0.0
+            and frames_divide
+        )
+        band_eligible = (
+            n_frame == 1 and BAND_AXIS in axis_sizes and regs_ok and band_divides
+        )
+        if not frame_eligible and not band_eligible:
+            reasons = []
+            if not regs_ok:
+                reasons.append(
+                    "regularizers not kernel-fusable (need exactly <=1 "
+                    "TV/BTV term)"
+                )
+            if not band_divides:
+                reasons.append(
+                    f"{channels_per_split} channels not divisible by the "
+                    f"band axis ({n_band})"
+                )
+            if n_frame > 1 and not bound > 0.0:
+                reasons.append(
+                    "frame mesh needs the shift-generic kernel "
+                    "(pallas_shift_bound > 0; AUTO selects it)"
+                )
+            if n_frame > 1 and not frames_divide:
+                reasons.append(
+                    f"{self.observations.shape[0]} frames not divisible "
+                    f"by the frame axis ({n_frame})"
+                )
+            _warn_mesh_fallback("fused-Pallas sharded", reasons)
+            return None, False
+        if frame_eligible:
+            from super_resolution_tpu.parallel.pallas_sharded import (
+                make_frame_sharded_pallas_vg,
+            )
+
+            def make_vg_frame(observations, shifts):
+                return make_frame_sharded_pallas_vg(
+                    mesh, observations, shifts, kernel, scale, regs,
+                    shift_bound=bound, pallas_tile=opts.pallas_tile,
+                    phase_io=phase_io,
+                )
+
+            return make_vg_frame, phase_io
+
+        from super_resolution_tpu.parallel.pallas_sharded import (
+            make_band_sharded_pallas_vg,
+        )
+
+        def make_vg_band(observations, shifts):
+            return make_band_sharded_pallas_vg(
+                mesh, observations, static_np, kernel, scale, regs,
+                pallas_tile=opts.pallas_tile, phase_io=phase_io,
+            )
+
+        return make_vg_band, phase_io
+
+    def _build_fused_solver(self, opts, channels_per_split: int = 0):
         """All-in-graph IRLS (``irls_solve_fused``): one jitted computation
         per channel round, zero host round-trips. Routed by
-        ``IRLSMapSolverOptions.fused_irls``."""
+        ``IRLSMapSolverOptions.fused_irls``. On a mesh, the inner objective
+        is the same fused-Pallas sharded vg the host-loop path uses
+        (``_mesh_pallas_vg_builder``) — the whole sharded IRLS solve then
+        compiles to ONE SPMD program (the host loop pays ~25 ms of tunnel
+        RPC per IRLS iteration for its batched readback; fused measured
+        2.96x on short inner solves)."""
         if self.mesh is not None:
-            raise ValueError(
-                "fused_irls + mesh is not wired; use the host-loop solver "
-                "for sharded solves."
+            make_vg, mesh_phase_io = self._mesh_pallas_vg_builder(
+                opts, channels_per_split or self.num_channels
             )
+            if make_vg is None:
+                raise ValueError(
+                    "fused_irls on this mesh needs a fused-Pallas-eligible "
+                    "configuration (see the fallback warning above for the "
+                    "reason); use the host-loop default for configurations "
+                    "that fall back to the traced objective."
+                )
+            regs_mesh = tuple(self.regularizers)
+
+            def fused_mesh(x0, observations, shifts):
+                vg = make_vg(observations, shifts)
+                converters = (
+                    (vg.to_planes, vg.from_planes) if mesh_phase_io else None
+                )
+                return irls_solve_fused(
+                    vg.prepare, regs_mesh, x0, opts,
+                    phase_converters=converters, return_iterations=True,
+                )
+
+            return jax.jit(fused_mesh)
         regs = tuple(self.regularizers)
         kernel = self.blur_kernel
         scale = self.scale
@@ -542,11 +780,40 @@ class IRLSMapSolver(MapSolverBase):
 
         static_shifts = np.asarray(self.shifts)
 
-        # Spatial (row/col) meshes: route through the halo-exchange tiled
-        # objective (parallel/halo.py) — explicit ppermute halo gather +
-        # exact scatter-sum adjoint, one cost psum per evaluation. Falls
-        # back to the GSPMD traced path when the configuration doesn't fit
-        # (3D TV, >1 regularizer, non-divisible tiles, numerical diff).
+        # Mesh solves: route through the fused-Pallas sharded objectives
+        # (spatial tiled / frame-sharded / band-sharded) when the
+        # configuration fits — the single-chip production kernel per shard,
+        # explicit collectives (cost psum, halo ppermute rings). The helper
+        # emits the fallback warning when it doesn't.
+        if self.mesh is not None:
+            make_vg, phase_io = self._mesh_pallas_vg_builder(
+                opts, channels_per_split
+            )
+            if make_vg is not None:
+                def inner_mesh(x0, observations, shifts, weights):
+                    vg = make_vg(observations, shifts)
+                    result = minimize(
+                        vg.prepare(weights),
+                        vg.to_planes(x0) if phase_io else x0,
+                        method=opts.least_squares_solver,
+                        max_iterations=opts.max_num_solver_iterations,
+                        gradient_norm_threshold=opts.gradient_norm_threshold,
+                        cost_decrease_threshold=opts.cost_decrease_threshold,
+                        parameter_variation_threshold=opts.parameter_variation_threshold,
+                        memory=opts.num_lbfgs_hessian_corrections,
+                        log_iterations=self.verbose,
+                    )
+                    if phase_io:
+                        result = result._replace(x=vg.from_planes(result.x))
+                    return result
+
+                return jax.jit(inner_mesh)
+
+        # Spatial meshes that miss the fused path: the halo-exchange TRACED
+        # tiled objective (parallel/halo.py) — explicit ppermute halo gather
+        # + exact scatter-sum adjoint, one cost psum per evaluation. Falls
+        # back to the GSPMD traced path when even that doesn't fit (3D TV,
+        # >1 regularizer, non-divisible tiles, numerical diff).
         if self.mesh is not None and self._spatial_mesh and diff_mode == "analytic":
             from super_resolution_tpu.ops.btv import (
                 BilateralTotalVariationRegularizer,
@@ -554,12 +821,9 @@ class IRLSMapSolver(MapSolverBase):
             from super_resolution_tpu.ops.tv import TotalVariationRegularizer
             from super_resolution_tpu.parallel.halo import (
                 make_tiled_map_value_and_grad,
-                make_tiled_pallas_vg,
             )
             from super_resolution_tpu.parallel.mesh import (
-                BAND_AXIS,
                 COL_AXIS,
-                FRAME_AXIS,
                 ROW_AXIS,
             )
 
@@ -585,81 +849,6 @@ class IRLSMapSolver(MapSolverBase):
                 and (h_hr // n_row) % scale == 0
                 and (w_hr // n_col) % scale == 0
             )
-            # Fused-kernel tiled path: every (row, col) shard runs the Pallas
-            # kernel in shard mode — including composite row x col x frame
-            # (shift-generic kernel) and row x col x band meshes. Falls back
-            # to the traced tiled objective below when ineligible.
-            n_frame = axis_sizes.get(FRAME_AXIS, 1)
-            n_band = axis_sizes.get(BAND_AXIS, 1)
-            pallas_spatial_ok = (
-                opts.use_pallas_data_term
-                and regs_ok
-                and shapes_ok
-                and channels_per_split % n_band == 0
-                and self.observations.shape[0] % n_frame == 0
-                and (n_frame == 1 or opts.pallas_shift_bound > 0.0)
-            )
-            if pallas_spatial_ok:
-                mesh = self.mesh
-                image_shape = (h_hr, w_hr)
-                bound = opts.pallas_shift_bound if (
-                    n_frame > 1 or opts.pallas_shift_bound > 0.0
-                ) else 0.0
-                phase_io = self._phase_io_ok(regs)
-                static_np = np.asarray(self.shifts)
-
-                def inner_spatial_pallas(x0, observations, shifts, weights):
-                    vg = make_tiled_pallas_vg(
-                        mesh, observations,
-                        shifts if bound > 0.0 else static_np,
-                        kernel, scale, regs, image_shape=image_shape,
-                        shift_bound=bound, pallas_tile=opts.pallas_tile,
-                        phase_io=phase_io,
-                    )
-                    result = minimize(
-                        vg.prepare(weights),
-                        vg.to_planes(x0) if phase_io else x0,
-                        method=opts.least_squares_solver,
-                        max_iterations=opts.max_num_solver_iterations,
-                        gradient_norm_threshold=opts.gradient_norm_threshold,
-                        cost_decrease_threshold=opts.cost_decrease_threshold,
-                        parameter_variation_threshold=opts.parameter_variation_threshold,
-                        memory=opts.num_lbfgs_hessian_corrections,
-                        log_iterations=self.verbose,
-                    )
-                    if phase_io:
-                        result = result._replace(x=vg.from_planes(result.x))
-                    return result
-
-                return jax.jit(inner_spatial_pallas)
-            if opts.use_pallas_data_term:
-                reasons = []
-                if not regs_ok:
-                    reasons.append(
-                        "regularizers not tileable (need exactly <=1 2D TV "
-                        "or BTV term)"
-                    )
-                if not shapes_ok:
-                    reasons.append(
-                        f"HR shape {(h_hr, w_hr)} not divisible into "
-                        f"{n_row}x{n_col} scale-aligned tiles"
-                    )
-                if channels_per_split % n_band:
-                    reasons.append(
-                        f"{channels_per_split} channels not divisible by the "
-                        f"band axis ({n_band})"
-                    )
-                if self.observations.shape[0] % n_frame:
-                    reasons.append(
-                        f"{self.observations.shape[0]} frames not divisible "
-                        f"by the frame axis ({n_frame})"
-                    )
-                if n_frame > 1 and not opts.pallas_shift_bound > 0.0:
-                    reasons.append(
-                        "frame axis needs the shift-generic kernel "
-                        "(pallas_shift_bound > 0; AUTO selects it)"
-                    )
-                _warn_mesh_fallback("fused-Pallas tiled", reasons)
             if not (spatial_only and regs_ok and shapes_ok):
                 reasons = []
                 if not spatial_only:
@@ -700,141 +889,6 @@ class IRLSMapSolver(MapSolverBase):
                     )
 
                 return jax.jit(inner_spatial)
-
-        # Mesh solves: route through the band-sharded fused-Pallas objective
-        # when the configuration allows it (band-only mesh, host-known
-        # shifts, at most one band-separable regularizer, channels divisible
-        # by the band axis); otherwise fall back to the GSPMD traced path.
-        if (
-            self.mesh is not None
-            and opts.use_pallas_data_term
-            and diff_mode == "analytic"
-        ):
-            from super_resolution_tpu.parallel.mesh import BAND_AXIS, FRAME_AXIS
-
-            from super_resolution_tpu.ops.btv import (
-                BilateralTotalVariationRegularizer,
-            )
-            from super_resolution_tpu.ops.tv import TotalVariationRegularizer
-
-            axis_sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
-            frame_size = axis_sizes.get(FRAME_AXIS, 1)
-            # 3D spectral TV is band-shardable since round 2: the builders
-            # carry a one-band ppermute halo across the band ring
-            # (parallel/pallas_sharded.py), so it no longer forces the
-            # traced fallback.
-            regs_ok = (
-                len(regs) <= 1
-                and all(
-                    isinstance(
-                        r, (TotalVariationRegularizer, BilateralTotalVariationRegularizer)
-                    )
-                    for r, _ in regs
-                )
-            )
-            band_divides = channels_per_split % axis_sizes.get(BAND_AXIS, 1) == 0
-            # Frame meshes need the shift-generic kernel (per-device shifts
-            # as data); band-only meshes can keep the specialized kernel.
-            frame_eligible = (
-                frame_size > 1
-                and regs_ok
-                and band_divides
-                and opts.pallas_shift_bound > 0.0
-                and self.observations.shape[0] % frame_size == 0
-            )
-            band_eligible = (
-                frame_size == 1
-                and BAND_AXIS in axis_sizes
-                and regs_ok
-                and band_divides
-            )
-            if not frame_eligible and not band_eligible:
-                reasons = []
-                if not regs_ok:
-                    reasons.append(
-                        "regularizers not kernel-fusable (need exactly <=1 "
-                        "TV/BTV term)"
-                    )
-                if not band_divides:
-                    reasons.append(
-                        f"{channels_per_split} channels not divisible by the "
-                        f"band axis ({axis_sizes.get(BAND_AXIS, 1)})"
-                    )
-                if frame_size > 1 and not opts.pallas_shift_bound > 0.0:
-                    reasons.append(
-                        "frame mesh needs the shift-generic kernel "
-                        "(pallas_shift_bound > 0; AUTO selects it)"
-                    )
-                if (
-                    frame_size > 1
-                    and self.observations.shape[0] % frame_size != 0
-                ):
-                    reasons.append(
-                        f"{self.observations.shape[0]} frames not divisible "
-                        f"by the frame axis ({frame_size})"
-                    )
-                _warn_mesh_fallback("fused-Pallas sharded", reasons)
-            if frame_eligible:
-                from super_resolution_tpu.parallel.pallas_sharded import (
-                    make_frame_sharded_pallas_vg,
-                )
-
-                mesh = self.mesh
-                bound = opts.pallas_shift_bound
-                phase_io = self._phase_io_ok(regs)
-
-                def inner_frame_sharded(x0, observations, shifts, weights):
-                    vg = make_frame_sharded_pallas_vg(
-                        mesh, observations, shifts, kernel, scale, regs,
-                        shift_bound=bound, pallas_tile=opts.pallas_tile,
-                        phase_io=phase_io,
-                    )
-                    result = minimize(
-                        vg.prepare(weights),
-                        vg.to_planes(x0) if phase_io else x0,
-                        method=opts.least_squares_solver,
-                        max_iterations=opts.max_num_solver_iterations,
-                        gradient_norm_threshold=opts.gradient_norm_threshold,
-                        cost_decrease_threshold=opts.cost_decrease_threshold,
-                        parameter_variation_threshold=opts.parameter_variation_threshold,
-                        memory=opts.num_lbfgs_hessian_corrections,
-                        log_iterations=self.verbose,
-                    )
-                    if phase_io:
-                        result = result._replace(x=vg.from_planes(result.x))
-                    return result
-
-                return jax.jit(inner_frame_sharded)
-            if band_eligible:
-                from super_resolution_tpu.parallel.pallas_sharded import (
-                    make_band_sharded_pallas_vg,
-                )
-
-                mesh = self.mesh
-                phase_io = self._phase_io_ok(regs)
-
-                def inner_sharded(x0, observations, shifts, weights):
-                    vg = make_band_sharded_pallas_vg(
-                        mesh, observations, static_shifts, kernel, scale,
-                        regs, pallas_tile=opts.pallas_tile,
-                        phase_io=phase_io,
-                    )
-                    result = minimize(
-                        vg.prepare(weights),
-                        vg.to_planes(x0) if phase_io else x0,
-                        method=opts.least_squares_solver,
-                        max_iterations=opts.max_num_solver_iterations,
-                        gradient_norm_threshold=opts.gradient_norm_threshold,
-                        cost_decrease_threshold=opts.cost_decrease_threshold,
-                        parameter_variation_threshold=opts.parameter_variation_threshold,
-                        memory=opts.num_lbfgs_hessian_corrections,
-                        log_iterations=self.verbose,
-                    )
-                    if phase_io:
-                        result = result._replace(x=vg.from_planes(result.x))
-                    return result
-
-                return jax.jit(inner_sharded)
 
         # Shift-generic mode: shifts stay a traced argument of the jitted
         # inner solve, so re-solving with new motion (estimated registration,
@@ -891,6 +945,33 @@ class IRLSMapSolver(MapSolverBase):
 
         return jax.jit(inner)
 
+    def _place_initial(self, x0):
+        """Place the HR estimate (or IRLS state) on the mesh: band axis on
+        channels, row/col axes on the spatial dims for spatial meshes;
+        replicated over frame devices. No-op without a mesh."""
+        if self.mesh is None:
+            return x0
+        from super_resolution_tpu.parallel.mesh import (
+            BAND_AXIS,
+            COL_AXIS,
+            ROW_AXIS,
+            named_sharding,
+        )
+
+        if self._spatial_mesh:
+            sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+            row = ROW_AXIS if ROW_AXIS in self.mesh.axis_names else None
+            col = COL_AXIS if COL_AXIS in self.mesh.axis_names else None
+            band = (
+                BAND_AXIS
+                if BAND_AXIS in self.mesh.axis_names
+                and x0.shape[0] % sizes[BAND_AXIS] == 0
+                else None
+            )
+            return jax.device_put(x0, named_sharding(self.mesh, band, row, col))
+        band = BAND_AXIS if BAND_AXIS in self.mesh.axis_names else None
+        return jax.device_put(x0, named_sharding(self.mesh, band, None, None))
+
     @staticmethod
     def _phase_io_ok(regs) -> bool:
         """Phase-plane IO needs every objective term inside the fused kernel:
@@ -930,6 +1011,23 @@ class IRLSMapSolver(MapSolverBase):
             fn = self._inner_cache[key] = jax.jit(reweight)
         return lambda x: fn(x)
 
+    def _shift_refiner(self, opts):
+        """Jitted Gauss-Newton shift refiner (motion/refinement.py), built
+        once per solver (x, observations, and shifts are traced arguments —
+        one executable serves every refinement round)."""
+        key = ("refine", opts.refine_motion_iterations)
+        fn = self._inner_cache.get(key)
+        if fn is None:
+            from super_resolution_tpu.motion.refinement import make_shift_refiner
+
+            fn = make_shift_refiner(
+                self.blur_kernel, self.scale,
+                num_iterations=opts.refine_motion_iterations,
+                max_shift=self.max_shift,
+            )
+            self._inner_cache[key] = fn
+        return fn
+
     def _run_irls_loop(self, inner, x0, observations, opts,
                        checkpoint_path=None, resume=False):
         """IRLS outer loop with optional checkpoint/resume: the state saved at
@@ -940,34 +1038,13 @@ class IRLSMapSolver(MapSolverBase):
         import os
 
         regs = self.regularizers
-        if self.mesh is not None:
-            from super_resolution_tpu.parallel.mesh import (
-                BAND_AXIS,
-                COL_AXIS,
-                ROW_AXIS,
-                named_sharding,
-            )
-
-            if self._spatial_mesh:
-                sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
-                row = ROW_AXIS if ROW_AXIS in self.mesh.axis_names else None
-                col = COL_AXIS if COL_AXIS in self.mesh.axis_names else None
-                band = (
-                    BAND_AXIS
-                    if BAND_AXIS in self.mesh.axis_names
-                    and x0.shape[0] % sizes[BAND_AXIS] == 0
-                    else None
-                )
-                x0 = jax.device_put(x0, named_sharding(self.mesh, band, row, col))
-            else:
-                band = BAND_AXIS if BAND_AXIS in self.mesh.axis_names else None
-                x0 = jax.device_put(
-                    x0, named_sharding(self.mesh, band, None, None)
-                )
+        x0 = self._place_initial(x0)
         weights = tuple(jnp.ones_like(x0) for _ in regs)
         x = x0
         prev_cost = float("inf")
         iteration = 0
+        refine_every = getattr(opts, "refine_motion_every", 0)
+        refiner = self._shift_refiner(opts) if refine_every > 0 else None
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
             state = np.load(checkpoint_path)
             x = jnp.asarray(state["x"])
@@ -983,6 +1060,9 @@ class IRLSMapSolver(MapSolverBase):
                 weights = tuple(jax.device_put(w, placement) for w in weights)
             prev_cost = float(state["prev_cost"])
             iteration = int(state["iteration"])
+            if "shifts" in state:
+                # Motion-refined solves checkpoint the evolving shifts too.
+                self.shifts = jnp.asarray(state["shifts"])
             if self.verbose:
                 print(f"Resumed IRLS from {checkpoint_path} at iteration {iteration}.")
         while True:
@@ -1004,14 +1084,39 @@ class IRLSMapSolver(MapSolverBase):
             # (the scalar readback above is loop bookkeeping, not solve time).
             self.last_inner_calls.append((t_call, int(it_v), int(ev_v)))
             self.last_inner_iterations += int(it_v)
-            if not regs:
+            if not regs and refiner is None:
                 if self.verbose:
                     print("Least squares done (no regularization terms to reweight).")
                 break
-            weights = self._reweight_fn(regs)(x)
+            if regs:
+                weights = self._reweight_fn(regs)(x)
             cost_difference = prev_cost - cost
             prev_cost = cost
             iteration += 1
+            # Motion refinement at the IRLS seam: Gauss-Newton on the data
+            # term against the just-solved x, fed straight back into the
+            # shift-generic inner solve (same executable — shifts are a
+            # traced argument on this path by construction).
+            shift_delta = 0.0
+            if refiner is not None and iteration % refine_every == 0:
+                new_shifts = refiner(x, observations, self.shifts)
+                if opts.use_pallas_data_term and opts.pallas_shift_bound > 0.0:
+                    # The kernel's margins are sized for |shift| <= bound;
+                    # refinement must not step outside the compiled program's
+                    # contract (GN steps are sub-pixel in practice).
+                    new_shifts = jnp.clip(
+                        new_shifts, -opts.pallas_shift_bound,
+                        opts.pallas_shift_bound,
+                    )
+                shift_delta = float(
+                    jnp.max(jnp.abs(new_shifts - jnp.asarray(self.shifts)))
+                )
+                self.shifts = new_shifts
+                if self.verbose:
+                    print(
+                        f"Refined motion against the HR estimate "
+                        f"(max shift change {shift_delta:.4g} HR px)."
+                    )
             if self.verbose:
                 print(
                     f"IRLS Iteration complete (#{iteration}). New loss is {cost} "
@@ -1020,10 +1125,18 @@ class IRLSMapSolver(MapSolverBase):
             if checkpoint_path:
                 payload = {"x": np.asarray(x), "prev_cost": prev_cost,
                            "iteration": iteration}
+                if refiner is not None:
+                    payload["shifts"] = np.asarray(self.shifts)
                 for wi, warr in enumerate(weights):
                     payload[f"weight_{wi}"] = np.asarray(warr)
                 np.savez(checkpoint_path, **payload)
-            if abs(cost_difference) < opts.irls_cost_difference_threshold:
+            if (
+                abs(cost_difference) < opts.irls_cost_difference_threshold
+                and shift_delta < 1e-4
+            ):
+                # Converged — and the last refinement (if any) no longer
+                # moves the motion (a refinement changes the objective, so
+                # cost alone cannot certify joint convergence).
                 break
             if (
                 opts.max_num_irls_iterations > 0

@@ -83,6 +83,19 @@ class IRLSMapSolverOptions(MapSolverOptions):
 
     max_num_irls_iterations: int = 20
     irls_cost_difference_threshold: float = 1e-5
+    # > 0: every N IRLS iterations, refine the per-frame motion shifts
+    # against the current HR estimate by damped Gauss-Newton on the data
+    # term (motion/refinement.py) — recovers estimated-registration error
+    # (~0.1 HR px, bounded by LR aliasing) once the solve has sharpened x.
+    # Requires shifts to be runtime data of the inner solve (AUTO selects
+    # the shift-generic kernel when this is on), so the refined shifts
+    # reuse ONE compiled executable. The reference estimates motion once
+    # and never revisits it (registration.cpp:161-201). Host-loop,
+    # single-device solves only.
+    refine_motion_every: int = 0
+    # Gauss-Newton steps per refinement round (2 reaches machine precision
+    # against a converged x; the damped steps are ~free next to a solve).
+    refine_motion_iterations: int = 2
 
     def adjust_thresholds_adaptively(
         self, num_parameters: int, regularization_parameter_sum: float

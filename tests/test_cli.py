@@ -89,6 +89,36 @@ def test_super_resolve_directory_mode_with_registration(tmp_path, test_data_dir,
     assert rc == 0
 
 
+def test_super_resolve_estimated_motion_with_refinement(tmp_path, test_data_dir,
+                                                        capsys):
+    """--estimate_motion + --refine_motion: registration, then per-IRLS-seam
+    Gauss-Newton refinement against the evolving HR estimate (round 4)."""
+    out_dir = str(tmp_path / "lr")
+    rc = generate_data_main([
+        "--input_image", f"{test_data_dir}/fb.png",
+        "--output_image_dir", out_dir,
+        "--number_of_frames", "3",
+        "--upsampling_scale", "2",
+        "--blur_radius", "0",
+        "--motion_sequence_path", f"{test_data_dir}/test_motion_sequence_9.txt",
+    ])
+    assert rc == 0
+    rc = super_resolve_main([
+        "--data_path", out_dir,
+        "--upsampling_scale", "2",
+        "--blur_radius", "0",
+        "--estimate_motion",
+        "--refine_motion", "1",
+        "--regularization_parameter", "0.005",
+        "--optimization_iterations", "3",
+        "--solver_iterations", "20",
+        "--verbose",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Refined motion against the HR estimate" in out
+
+
 def test_super_resolve_wavelet_domain(small_image):
     rc = super_resolve_main([
         "--data_path", small_image,
