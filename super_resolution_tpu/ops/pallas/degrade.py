@@ -502,6 +502,7 @@ def pallas_data_term_cost_and_grad(
     global_hw: tuple[int, int] | None = None,
     data_mask_lr: np.ndarray | None = None,
     skip_extent_masks: bool = False,
+    memo_extent_masks: bool = False,
 ):
     """Fused data term: ``(cost, grad)`` of ``s^2 sum_k ||D B M_k x - y_k||^2``.
 
@@ -840,19 +841,31 @@ def pallas_data_term_cost_and_grad(
         t0r = org_ref[t, 0]
         t0c = org_ref[t, 1]
 
-        def extent_mask(size_r, size_c, start_hr_r, start_hr_c, step):
+        mask_memo = {}
+
+        def extent_mask(size_r, size_c, off_r, off_c, step):
             # Mask of global-extent validity for a phase plane whose element i
-            # sits at global HR coord start + step*i along each axis.
+            # sits at global HR coord (tile origin + off) + step*i per axis.
             # ``skip_extent_masks`` (perf attribution ONLY — numerically wrong
             # at image borders) drops both the computation and the multiply.
+            # ``memo_extent_masks`` computes each distinct (extent, offset)
+            # mask once and reuses it across the frame loop (2*s^2 masks
+            # instead of 2*K*s^2) at the price of keeping them live —
+            # measurement knob; round 1 measured the hoisted form 0.05 ms
+            # SLOWER (more live VMEM), re-probed with the round-4 margins.
             if skip_extent_masks:
                 return None
+            key = (size_r, size_c, off_r, off_c, step)
+            if memo_extent_masks and key in mask_memo:
+                return mask_memo[key]
             rid = jax.lax.broadcasted_iota(jnp.int32, (size_r, size_c), 0)
             cid = jax.lax.broadcasted_iota(jnp.int32, (size_r, size_c), 1)
-            rr = start_hr_r + step * rid
-            cc = start_hr_c + step * cid
-            valid = (rr >= 0) & (rr < h_glob) & (cc >= 0) & (cc < w_glob)
-            return valid.astype(dtype)
+            rr = t0r + off_r + step * rid
+            cc = t0c + off_c + step * cid
+            valid = ((rr >= 0) & (rr < h_glob) & (cc >= 0) & (cc < w_glob)).astype(dtype)
+            if memo_extent_masks:
+                mask_memo[key] = valid
+            return valid
 
         def apply_mask(val, m):
             return val if m is None else val * m[None]
@@ -958,8 +971,8 @@ def pallas_data_term_cost_and_grad(
                         m = extent_mask(
                             n1r,
                             n1c,
-                            t0r - p_ext - s * za + psr,
-                            t0c - p_ext - s * za + psc,
+                            -p_ext - s * za + psr,
+                            -p_ext - s * za + psc,
                             s,
                         )
                         z1[(psr, psc)] = apply_mask(acc, m)
@@ -983,8 +996,8 @@ def pallas_data_term_cost_and_grad(
                         m = extent_mask(
                             n1r,
                             n1c,
-                            t0r - p_ext - s * za + psr,
-                            t0c - p_ext - s * za + psc,
+                            -p_ext - s * za + psr,
+                            -p_ext - s * za + psc,
                             s,
                         )
                         z1[(psr, psc)] = apply_mask(acc, m)
@@ -1045,7 +1058,7 @@ def pallas_data_term_cost_and_grad(
                         term = sl * jnp.asarray(tw, dtype)
                         total = term if total is None else total + term
                     m = extent_mask(
-                        ng1r, ng1c, t0r - s * ga + psr, t0c - s * ga + psc, s
+                        ng1r, ng1c, -s * ga + psr, -s * ga + psc, s
                     )
                     if dynamic:
                         g1_ref[psr * s + psc] = apply_mask(total, m)

@@ -135,6 +135,7 @@ def make_map_value_and_grad(
     pallas_channel_block: int = 0,
     phase_io: bool = False,
     pallas_skip_extent_masks: bool = False,
+    pallas_memo_extent_masks: bool = False,
 ) -> Callable:
     """Build ``value_and_grad(x, weights) -> (cost, grad)`` for the MAP objective.
 
@@ -258,6 +259,7 @@ def make_map_value_and_grad(
                     shift_bound=pallas_shift_bound,
                     channel_block=pallas_channel_block, phase_io=phase_io,
                     skip_extent_masks=pallas_skip_extent_masks,
+                    memo_extent_masks=pallas_memo_extent_masks,
                     **fused_reg_kwargs,
                 )
             return pallas_data_term_cost_and_grad(
@@ -265,6 +267,7 @@ def make_map_value_and_grad(
                 tile=pallas_tile, channel_block=pallas_channel_block,
                 phase_io=phase_io,
                 skip_extent_masks=pallas_skip_extent_masks,
+                memo_extent_masks=pallas_memo_extent_masks,
                 **fused_reg_kwargs,
             )
         if static_shifts is not None:
