@@ -58,7 +58,11 @@ def _dallas_problem(dtype, scale=4, shifts=((0, 0), (1, 1), (0, 1), (1, 0)),
 def _psnr(a, b) -> float:
     from super_resolution_tpu.evaluation.metrics import psnr
 
-    return round(float(psnr(np.asarray(a), np.asarray(b))), 2)
+    value = float(psnr(np.asarray(a), np.asarray(b)))
+    # Exact reconstructions (e.g. shift-add re-interleaving noiseless integer
+    # shifts) give PSNR = inf; cap it so the JSON line stays strict-parseable
+    # (any numerical corruption drops the value below the cap).
+    return round(min(value, 99.99), 2)
 
 
 def _solve_throughput(observations, shifts, kernel, scale, regs, iters,
@@ -249,15 +253,28 @@ def bench_map_btv_estimated(dtype=np.float32, iters=50, repeats=3):
         )
     x_est = result.x
 
-    # The refinement loop: Gauss-Newton against the solved estimate, then
-    # re-solve — SAME executable (shifts are a traced argument of `solve`).
+    # The refinement loop: alternate Gauss-Newton against the current solve
+    # with re-solves — every round reuses the SAME two executables (shifts
+    # are a traced argument of `solve`; x/shifts of the refiner). Multiple
+    # rounds matter: x absorbs part of the motion error, so the fixed-point
+    # iteration contracts geometrically (measured ~0.5-0.65x/round on
+    # under-determined stacks, experiments/cpu_refine_dallas.py).
     refiner = make_shift_refiner(kernel, scale, num_iterations=2, max_shift=4)
     t_ref = time.perf_counter()
-    refined = jnp.clip(refiner(x_est, observations, est_j), -bound, bound)
-    result_r = solve(x0, refined)
-    jax.block_until_ready(result_r.x)
+    refined = est_j
+    x_refined = x_est
+    err_trajectory = []
+    for _ in range(4):
+        refined = jnp.clip(
+            refiner(x_refined, observations, refined), -bound, bound
+        )
+        result_r = solve(x0, refined)
+        x_refined = result_r.x
+        err_trajectory.append(round(float(
+            np.max(np.abs(np.asarray(refined) - np.asarray(true_shifts)))
+        ), 4))
+    jax.block_until_ready(x_refined)
     t_ref = time.perf_counter() - t_ref
-    x_refined = result_r.x
 
     # Anchors: known-true-motion solve (upper bound), bilinear baseline.
     x_true = solve(x0, jnp.asarray(true_shifts, dtype)).x
@@ -284,6 +301,7 @@ def bench_map_btv_estimated(dtype=np.float32, iters=50, repeats=3):
         "registration_seconds": round(t_reg, 3),
         "registration_max_err_hr_px": round(err_est, 4),
         "refined_max_err_hr_px": round(err_ref, 4),
+        "refined_err_trajectory": err_trajectory,
         "refine_and_resolve_seconds": round(t_ref, 3),
         "shift_bound": bound,
         "psnr_db": _psnr(x_refined, gt),

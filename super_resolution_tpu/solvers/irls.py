@@ -1012,20 +1012,29 @@ class IRLSMapSolver(MapSolverBase):
         return lambda x: fn(x)
 
     def _shift_refiner(self, opts):
-        """Jitted Gauss-Newton shift refiner (motion/refinement.py), built
-        once per solver (x, observations, and shifts are traced arguments —
-        one executable serves every refinement round)."""
-        key = ("refine", opts.refine_motion_iterations)
-        fn = self._inner_cache.get(key)
+        """Jitted Gauss-Newton shift refiner (motion/refinement.py). Cached
+        MODULE-wide like the inner solvers (x, observations, and shifts are
+        traced arguments, so video sliding windows — a fresh solver per
+        frame — reuse one jit wrapper instead of retracing per window)."""
+        kern = self.blur_kernel
+        key = (
+            "refine", opts.refine_motion_iterations, self.scale,
+            self.max_shift,
+            None if kern is None else (kern.shape, np.asarray(kern).tobytes()),
+        )
+        fn = self._inner_cache.get(key) or _BUILT_SOLVER_CACHE.get(key)
         if fn is None:
             from super_resolution_tpu.motion.refinement import make_shift_refiner
 
             fn = make_shift_refiner(
-                self.blur_kernel, self.scale,
+                kern, self.scale,
                 num_iterations=opts.refine_motion_iterations,
                 max_shift=self.max_shift,
             )
-            self._inner_cache[key] = fn
+            _BUILT_SOLVER_CACHE[key] = fn
+            while len(_BUILT_SOLVER_CACHE) > _BUILT_SOLVER_CACHE_MAX:
+                _BUILT_SOLVER_CACHE.popitem(last=False)
+        self._inner_cache[key] = fn
         return fn
 
     def _run_irls_loop(self, inner, x0, observations, opts,
