@@ -167,10 +167,15 @@ def bench_map_btv(dtype=np.float32, iters=50, repeats=3):
 
     gt, observations, shifts, kernel = _dallas_problem(dtype)
     regs = [(BilateralTotalVariationRegularizer(3, 0.5), 0.01)]
-    # Automatic tile: BTV's window planes + intermediates don't fit at the
-    # TV bench's pinned (256, 1024) (measured 21.11 MB scoped > 16 MB).
+    # Pinned tile: the round-4 minimal margins shrink BTV's VMEM footprint
+    # enough for (128, 1024) (estimated 12.5 MB; compiles fine), which
+    # measured 1100 Mpix-it/s vs 893-928 for the auto ladder's (128, 512)
+    # and 1019 at (256, 512) — the 9 MB auto budget is deliberately
+    # conservative (the estimate has ~30% worst-case error vs scoped
+    # allocations), so the bench pins the measured winner. (256, 1024)
+    # still blows the 16 MB scoped limit (est 22.7 MB).
     value, spread, x = _solve_throughput(
-        observations, shifts, kernel, 4, regs, iters, 0, gt.shape,
+        observations, shifts, kernel, 4, regs, iters, (128, 1024), gt.shape,
         repeats=repeats,
     )
     return {
@@ -217,7 +222,10 @@ def bench_map_btv_estimated(dtype=np.float32, iters=50, repeats=3):
         [[s.dx * scale, s.dy * scale] for s in est], np.float64
     )
     t_reg = time.perf_counter() - t_reg
-    bound = float(shift_bound_bucket(float(np.max(np.abs(est_hr))) + 0.5))
+    # +0.25 HR px of headroom lets the refinement clip freely without
+    # jumping a power-of-two bucket (bucket 4 doubles the shift-generic
+    # kernel's candidate fan-out: measured 360 vs 538 Mpix-it/s in-session).
+    bound = float(shift_bound_bucket(float(np.max(np.abs(est_hr))) + 0.25))
     regs = [(BilateralTotalVariationRegularizer(3, 0.5), 0.01)]
     use_pallas = jax.default_backend() != "cpu"
     weights = (jnp.ones(gt.shape, dtype),)

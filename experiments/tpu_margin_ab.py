@@ -11,7 +11,10 @@ Variants:
   old        round-3 margins (monkeypatched)
 """
 
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import cv2
 import numpy as np

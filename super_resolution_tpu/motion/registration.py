@@ -65,6 +65,34 @@ def _complex_fft_supported() -> bool:
     return _COMPLEX_FFT_ON_DEVICE
 
 
+def _translate_np(x: np.ndarray, dx: float, dy: float) -> np.ndarray:
+    """Numpy bilinear warp with :func:`translate`'s exact semantics
+    (``out(r, c) = x(r - dy, c - dx)``, zero border). The numpy-FFT
+    fallback path must stay off-device end to end: each on-device
+    ``translate`` call through the axon tunnel costs dispatch latency, and
+    registration makes dozens of them (measured: 443 s of "registration"
+    that is pure tunnel round-trips on a slow window, vs ~1 s host-side)."""
+    iy, ix = int(np.floor(dy)), int(np.floor(dx))
+    fy, fx = float(dy) - iy, float(dx) - ix
+    h, w = x.shape[-2], x.shape[-1]
+
+    def shifted(m: int, n: int) -> np.ndarray:
+        res = np.zeros_like(x)
+        rs = slice(max(m, 0), h + min(m, 0))
+        cs = slice(max(n, 0), w + min(n, 0))
+        rsrc = slice(max(-m, 0), h - max(m, 0))
+        csrc = slice(max(-n, 0), w - max(n, 0))
+        res[..., rs, cs] = x[..., rsrc, csrc]
+        return res
+
+    out = np.zeros_like(x)
+    for a, wy in ((0, 1.0 - fy), (1, fy)):
+        for b, wx in ((0, 1.0 - fx), (1, fx)):
+            if wy * wx != 0.0:
+                out = out + (wy * wx) * shifted(iy + a, ix + b)
+    return out
+
+
 def _upsampled_dft(data, region, upsample_factor, row_offset, col_offset, xp=jnp):
     """Evaluate the inverse DFT of ``data`` on a ``region x region`` grid with
     spacing ``1/upsample_factor`` starting at (row_offset, col_offset).
@@ -147,8 +175,12 @@ def phase_correlation_shift(
     dx, dy = _phase_correlation_once(ref, img, upsample_factor, lowpass_sigma,
                                      xp=xp)
     for _ in range(max(0, num_refinement_iterations - 1)):
-        # The warp itself is real-valued (device-supported everywhere).
-        warped = xp.asarray(translate(ref, dx, dy, max_shift=max_shift))
+        # The warp stays in xp's domain: on the numpy fallback an on-device
+        # translate would pay a tunnel round trip per refinement step.
+        if xp is np:
+            warped = _translate_np(np.asarray(ref), float(dx), float(dy))
+        else:
+            warped = xp.asarray(translate(ref, dx, dy, max_shift=max_shift))
         ddx, ddy = _phase_correlation_once(warped, img, upsample_factor,
                                            lowpass_sigma, xp=xp)
         dx = dx + ddx
@@ -246,7 +278,11 @@ def robust_phase_correlation_shift(
     # bias is second-order (patched fraction x consensus error).
     cdx = float(dxs[inliers].mean())
     cdy = float(dys[inliers].mean())
-    warped = np.asarray(translate(ref, cdx, cdy, max_shift=32))
+    warped = (
+        _translate_np(np.asarray(ref), cdx, cdy)
+        if not _complex_fft_supported()
+        else np.asarray(translate(ref, cdx, cdy, max_shift=32))
+    )
     repaired = np.asarray(img).copy()
     for i in range(gy):
         for j in range(gx):

@@ -363,9 +363,10 @@ def choose_tile(
     use_btv: bool = False,
     btv_range: int = 0,
     requested: int | None = None,
-    vmem_budget_bytes: int = 9 * 2**20,
+    vmem_budget_bytes: int | None = None,
     shift_bound: float | None = None,
     image_hw: tuple[int, int] | None = None,
+    channel_grid: bool = False,
 ):
     """Pick a kernel tile whose estimated live VMEM fits the ~16 MB scoped
     limit with headroom.
@@ -381,12 +382,24 @@ def choose_tile(
     input/output blocks (counted twice for double buffering) plus the
     per-frame intermediates (z1/g1 phase planes, residual, gradient
     accumulator, regularizer planes), with every plane padded to the
-    (8, 128) register tiling. Calibration points (measured Mosaic scoped
-    allocations): 38.45 MB vs 43.2 estimated (s=2, c=6, K=4, tile=256);
-    18.94 MB vs 14.6 estimated (s=2, cb=2, K=4, tile=(256,256)) — the
-    remaining ~30% worst-case slack is what the 9 MB default budget
-    absorbs against the 16 MB scoped limit.
+    (8, 128) register tiling. Calibration: every measured NO-channel-grid
+    case OVER-estimates (43.2 est vs 38.45 MB scoped at s=2, c=6, K=4,
+    tile=256; 22.7 est vs 21.1 MB for s=4 BTV at (256,1024)), while
+    channel-GRID cases under-estimate up to ~30% (14.6 est vs 18.94 MB at
+    s=2, cb=2, K=4, (256,256)) — the grid axis adds pipelining state the
+    model misses. Hence the split default budget: 13 MB without a channel
+    grid, 9 MB with one (``channel_grid=True``, set by
+    ``choose_channel_block``). The bump is what lets single-band BTV pick
+    (128, 1024) — measured 1100 vs 893-928 Mpix-it/s at the old budget's
+    (128, 512) on the round-4 flagship BTV solve. The SHIFT-GENERIC kernel
+    keeps the conservative budget too: its g1 VMEM scratch and memoized
+    virtual-phase gathers are live state the model does not count
+    (measured: dynamic BTV at (128,1024) est 12.5 MB fails the scoped
+    compile that the static kernel passes).
     """
+    if vmem_budget_bytes is None:
+        conservative = channel_grid or shift_bound is not None
+        vmem_budget_bytes = (9 if conservative else 13) * 2**20
     s = int(scale)
     c = int(num_channels)
     k = int(num_frames)
@@ -448,7 +461,7 @@ def choose_channel_block(
     use_btv: bool = False,
     btv_range: int = 0,
     shift_bound: float | None = None,
-    vmem_budget_bytes: int = 9 * 2**20,
+    vmem_budget_bytes: int | None = None,
     image_hw: tuple[int, int] | None = None,
 ) -> tuple[int, tuple[int, int]]:
     """Pick ``(channel_block, tile)`` for a multi-band image: the largest
@@ -462,11 +475,13 @@ def choose_channel_block(
     a ``C / channel_block`` axis instead."""
 
     def tile_for(cb):
+        # channel_grid=True: blocked configs pipeline a C/cb grid axis the
+        # VMEM model under-estimates (measured ~30%) — conservative budget.
         return choose_tile(
             cb, scale, num_frames, static_shifts, kernel, use_tv=use_tv,
             use_btv=use_btv, btv_range=btv_range,
             vmem_budget_bytes=vmem_budget_bytes, shift_bound=shift_bound,
-            image_hw=image_hw,
+            image_hw=image_hw, channel_grid=True,
         )
 
     target = tile_for(1)

@@ -523,7 +523,11 @@ def test_choose_channel_block_keeps_single_band_tile():
 
     shifts = np.asarray([(0, 0), (1, 1), (0, 1), (1, 0)])
     kernel = np.ones((7, 7), np.float32) / 49.0
-    target = choose_tile(1, 4, 4, shifts, kernel, use_tv=True)
+    # channel_grid=True: the chooser compares against the 1-band tile AT
+    # THE GRID BUDGET (blocked configs carry grid pipelining state the VMEM
+    # model under-estimates, so they use the conservative budget).
+    target = choose_tile(1, 4, 4, shifts, kernel, use_tv=True,
+                         channel_grid=True)
     block, tile = choose_channel_block(64, 4, 4, shifts, kernel, use_tv=True)
     assert tile == target
     assert 64 % block == 0
