@@ -139,9 +139,12 @@ def bench_map_tv(dtype=np.float32, iters=50, repeats=3):
     gt, observations, shifts, kernel = _dallas_problem(dtype)
     value, spread, x = _solve_throughput(
         observations, shifts, kernel, 4, _tv_regs(), iters,
-        # Wide-short tiles map onto the 128-wide lanes; (256, 1024) measured
-        # fastest on the full 50-iter solve (experiments/tpu_tile_sweep.py).
-        (256, 1024), gt.shape, repeats=repeats,
+        # Pinned tile: (512, 1024) beat (256, 1024) in BOTH sessions that
+        # compared them on the full 50-iter solve (+4% r3 roofline, +5%
+        # r4 probe maxima); (1024, 1024) blows the scoped VMEM limit. The
+        # VMEM model over-estimates large static tiles (~37 MB est for a
+        # tile that runs), so the auto ladder cannot pick this itself.
+        (512, 1024), gt.shape, repeats=repeats,
     )
     return {
         "metric": "map_solver_throughput_4x_dallas",
@@ -266,7 +269,7 @@ def bench_map_btv_estimated(dtype=np.float32, iters=50, repeats=3):
     # are a traced argument of `solve`; x/shifts of the refiner). Multiple
     # rounds matter: x absorbs part of the motion error, so the fixed-point
     # iteration contracts geometrically (measured ~0.5-0.65x/round on
-    # under-determined stacks, experiments/cpu_refine_dallas.py).
+    # under-determined stacks, experiments/tpu_refine_loo.py).
     refiner = make_shift_refiner(kernel, scale, num_iterations=2, max_shift=4)
     t_ref = time.perf_counter()
     refined = est_j
@@ -431,9 +434,12 @@ def bench_hyperspectral_pca(dtype=np.float32, iters=20, bands=64, repeats=3):
     t_pca = time.perf_counter() - t_pca
 
     hr_pca = (k_pca, h, w)
+    # Pinned (256, 512) x 1-band channel grid: +12% over the auto choice on
+    # the 4-band 512^2 s=2 geometry (633 vs 563 Mpix-it/s, r4 probe) — the
+    # conservative channel-grid VMEM budget keeps auto at (128, 512).
     value, spread, x_pca = _solve_throughput(
-        obs_pca, shifts, kernel, scale, _tv_regs(), iters, 0, hr_pca,
-        repeats=repeats,
+        obs_pca, shifts, kernel, scale, _tv_regs(), iters, (256, 512), hr_pca,
+        repeats=repeats, pallas_channel_block=1,
     )
     # End-to-end quality anchor: the SOLVED PCA-space image back-projected
     # to the full spectral cube vs the ground-truth cube (one matmul,
