@@ -594,10 +594,14 @@ def bench_scaling(dtype=np.float32, iters=5, repeats=2, device_counts=None,
     """
     import jax
 
-    if not int(os.environ.get("SRTPU_SCALING_REAL", "0")):
+    already_cpu = getattr(jax.config, "jax_platforms", None) == "cpu"
+    if not int(os.environ.get("SRTPU_SCALING_REAL", "0")) and not already_cpu:
         # Force virtual CPU devices BEFORE any backend init (the axon
         # sitecustomize pins a 1-chip tunnel; jax.devices() would block on
-        # the handshake). Mirrors __graft_entry__.dryrun_multichip.
+        # the handshake). Mirrors __graft_entry__.dryrun_multichip. Skipped
+        # when the process already runs on CPU (pytest conftest: 8 virtual
+        # devices) — clear_backends there would destroy live arrays and
+        # shrink the device count for everything after us in the process.
         import jax._src.api as _api
 
         jax.config.update("jax_platforms", "cpu")
@@ -605,7 +609,7 @@ def bench_scaling(dtype=np.float32, iters=5, repeats=2, device_counts=None,
         try:
             jax.config.update("jax_num_cpu_devices", frames)
         except RuntimeError:
-            pass  # backend already live (pytest): use its devices
+            pass  # backend already live: use its devices
     import jax.numpy as jnp
 
     from super_resolution_tpu.models import ImageModel, ImageModelParameters
@@ -746,11 +750,20 @@ def main():
     import subprocess
 
     for name in sorted(CONFIGS):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--config", name,
-             "--repeats", str(args.repeats)],
-            capture_output=True, text=True, timeout=3600,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--config", name,
+                 "--repeats", str(args.repeats)],
+                capture_output=True, text=True, timeout=3600,
+            )
+        except subprocess.TimeoutExpired as e:
+            # A hung tunnel/compile must not abort the sweep NOR break the
+            # one-line-per-config contract.
+            sys.stderr.write((e.stderr or b"").decode() if isinstance(
+                e.stderr, bytes) else (e.stderr or ""))
+            print(json.dumps({"metric": name, "value": None,
+                              "error": "timeout 3600s"}), flush=True)
+            continue
         line = None
         for out_line in (proc.stdout or "").splitlines():
             out_line = out_line.strip()

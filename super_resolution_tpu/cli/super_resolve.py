@@ -217,15 +217,18 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
             warm_s = sum(c[0] for c in warm_calls)
             warm_it = sum(c[1] for c in warm_calls)
             warm_ev = sum(c[2] for c in warm_calls)
+            # Per-CALL pixel count: with --split_channels each inner call
+            # solves one channel round, not the full image.
+            call_px = getattr(solver, "last_inner_pixels", arr.size)
             best = max(
-                (c[1] * arr.size / c[0] / 1e6 for c in warm_calls if c[0] > 0),
+                (c[1] * call_px / c[0] / 1e6 for c in warm_calls if c[0] > 0),
                 default=0.0,
             )
             if warm_it and warm_s > 0:
                 build_s = cold_calls[0][0] if cold_calls else 0.0
                 print(
                     f"Steady-state solve throughput: "
-                    f"{warm_it * arr.size / warm_s / 1e6:.4g} Mpixel-iters/s "
+                    f"{warm_it * call_px / warm_s / 1e6:.4g} Mpixel-iters/s "
                     f"(best warm call {best:.4g}; {warm_it} iterations / "
                     f"{warm_ev} objective evaluations over "
                     f"{len(warm_calls)} warm inner calls; build cost was "

@@ -89,9 +89,12 @@ def refine_shifts(
         b1 = -jnp.sum(j_dx * r)
         b2 = -jnp.sum(j_dy * r)
         # Levenberg damping on the diagonal keeps the step well-posed on
-        # flat frames (uniform regions: J ~ 0).
-        a11 = a11 + lam * a11 + jnp.asarray(1e-20, dtype)
-        a22 = a22 + lam * a22 + jnp.asarray(1e-20, dtype)
+        # flat frames (uniform regions: J ~ 0). The additive floor must
+        # keep det = a11*a22 in the f32 NORMAL range: TPU flush-to-zero
+        # would turn a subnormal det into 0 and the step into 0/0 = NaN
+        # (1e-12 squared is 1e-24 — comfortably normal).
+        a11 = a11 + lam * a11 + jnp.asarray(1e-12, dtype)
+        a22 = a22 + lam * a22 + jnp.asarray(1e-12, dtype)
         det = a11 * a22 - a12 * a12
         d_dx = (a22 * b1 - a12 * b2) / det
         d_dy = (a11 * b2 - a12 * b1) / det

@@ -1084,7 +1084,7 @@ def pallas_data_term_cost_and_grad(
             if dynamic:
                 ab_r = ti_ref[k, 2]
                 ab_c = ti_ref[k, 3]
-                # In bounds: ga = ceil(wr/s)+1 > q_reach.
+                # In bounds (with equality): ga = ceil(wr/s) = q_reach.
                 g1_planes = make_base_planes(read_g1, ab_r, ab_c, ga, tlr_r, tlr_c)
                 for phr_out in range(s):
                     for phc_out in range(s):

@@ -355,6 +355,10 @@ class IRLSMapSolver(MapSolverBase):
         num_rounds = c // channels_per_split
         num_pixels = self.hr_shape[1] * self.hr_shape[2]
         num_data_points = channels_per_split * num_pixels
+        # Pixels each INNER CALL solves (one channel round) — the correct
+        # per-call normalizer for throughput reporting: with split_channels
+        # an inner call touches channels_per_split*H*W elements, not C*H*W.
+        self.last_inner_pixels = num_data_points
 
         # Adaptive threshold scaling (``irls_map_solver.cpp:214-216``).
         import dataclasses
@@ -1012,25 +1016,43 @@ class IRLSMapSolver(MapSolverBase):
         return lambda x: fn(x)
 
     def _shift_refiner(self, opts):
-        """Jitted Gauss-Newton shift refiner (motion/refinement.py). Cached
-        MODULE-wide like the inner solvers (x, observations, and shifts are
-        traced arguments, so video sliding windows — a fresh solver per
-        frame — reuse one jit wrapper instead of retracing per window)."""
+        """Jitted Gauss-Newton refinement STEP: ``(x, observations, shifts)
+        -> (new_shifts, max|change|)`` with the kernel-bound clip fused in —
+        one device dispatch per refinement round, and the delta scalar rides
+        the loop's existing batched ``device_get``. Cached MODULE-wide like
+        the inner solvers (all arguments traced, so video sliding windows —
+        a fresh solver per frame — reuse one jit wrapper)."""
         kern = self.blur_kernel
+        bound = (
+            float(opts.pallas_shift_bound)
+            if opts.use_pallas_data_term and opts.pallas_shift_bound > 0.0
+            else 0.0
+        )
         key = (
             "refine", opts.refine_motion_iterations, self.scale,
-            self.max_shift,
+            self.max_shift, bound,
             None if kern is None else (kern.shape, np.asarray(kern).tobytes()),
         )
         fn = self._inner_cache.get(key) or _BUILT_SOLVER_CACHE.get(key)
         if fn is None:
-            from super_resolution_tpu.motion.refinement import make_shift_refiner
+            from super_resolution_tpu.motion.refinement import refine_shifts
 
-            fn = make_shift_refiner(
-                kern, self.scale,
-                num_iterations=opts.refine_motion_iterations,
-                max_shift=self.max_shift,
-            )
+            scale = self.scale
+            max_shift = self.max_shift
+            gn_iters = opts.refine_motion_iterations
+
+            @jax.jit
+            def fn(x, observations, shifts):
+                refined = refine_shifts(
+                    x, observations, shifts, kern, scale,
+                    num_iterations=gn_iters, max_shift=max_shift,
+                )
+                if bound > 0.0:
+                    # The shift-generic kernel's margins are sized for
+                    # |shift| <= bound; refinement must not step outside the
+                    # compiled program's contract.
+                    refined = jnp.clip(refined, -bound, bound)
+                return refined, jnp.max(jnp.abs(refined - shifts))
             _BUILT_SOLVER_CACHE[key] = fn
             while len(_BUILT_SOLVER_CACHE) > _BUILT_SOLVER_CACHE_MAX:
                 _BUILT_SOLVER_CACHE.popitem(last=False)
@@ -1074,19 +1096,46 @@ class IRLSMapSolver(MapSolverBase):
                 self.shifts = jnp.asarray(state["shifts"])
             if self.verbose:
                 print(f"Resumed IRLS from {checkpoint_path} at iteration {iteration}.")
+        # inf until a refinement ROUND has actually run and converged: with
+        # refine_motion_every > 1 the cost can stabilize before the first
+        # refinement is due, and the loop must not break with the requested
+        # refinement never executed.
+        last_refine_delta = float("inf") if refiner is not None else 0.0
         while True:
             t_inner = time.perf_counter()
             result = inner(x, observations, self.shifts, weights)
             jax.block_until_ready(result.x)
             t_call = time.perf_counter() - t_inner
+            # Motion refinement at the IRLS seam: Gauss-Newton on the data
+            # term against the just-solved x, fed straight back into the
+            # shift-generic inner solve (same executable — shifts are a
+            # traced argument on this path by construction). Dispatched
+            # BEFORE the batched readback so its delta scalar rides the one
+            # device_get below instead of paying its own ~25 ms tunnel RPC.
+            refined_now = (
+                refiner is not None and (iteration + 1) % refine_every == 0
+            )
+            if refined_now:
+                self.shifts, delta_dev = refiner(
+                    result.x, observations, self.shifts
+                )
             # ONE batched device_get for every host-side scalar: through the
             # remote tunnel each separate scalar readback costs ~25 ms of
             # RPC latency (measured — comparable to the whole 50-iteration
             # warm solve), so float(cost); int(iterations); int(evals) as
             # separate fetches tripled the host-loop overhead.
-            cost_v, it_v, ev_v = jax.device_get(
+            fetch = jax.device_get(
                 (result.cost, result.iterations, result.num_evaluations)
+                + ((delta_dev,) if refined_now else ())
             )
+            cost_v, it_v, ev_v = fetch[:3]
+            if refined_now:
+                last_refine_delta = float(fetch[3])
+                if self.verbose:
+                    print(
+                        f"Refined motion against the HR estimate "
+                        f"(max shift change {last_refine_delta:.4g} HR px)."
+                    )
             x, cost = result.x, float(cost_v)
             # Per-inner-call stats: call 0 includes the one-time jit trace +
             # compile(-cache load); later calls are steady-state device time
@@ -1102,30 +1151,6 @@ class IRLSMapSolver(MapSolverBase):
             cost_difference = prev_cost - cost
             prev_cost = cost
             iteration += 1
-            # Motion refinement at the IRLS seam: Gauss-Newton on the data
-            # term against the just-solved x, fed straight back into the
-            # shift-generic inner solve (same executable — shifts are a
-            # traced argument on this path by construction).
-            shift_delta = 0.0
-            if refiner is not None and iteration % refine_every == 0:
-                new_shifts = refiner(x, observations, self.shifts)
-                if opts.use_pallas_data_term and opts.pallas_shift_bound > 0.0:
-                    # The kernel's margins are sized for |shift| <= bound;
-                    # refinement must not step outside the compiled program's
-                    # contract (GN steps are sub-pixel in practice).
-                    new_shifts = jnp.clip(
-                        new_shifts, -opts.pallas_shift_bound,
-                        opts.pallas_shift_bound,
-                    )
-                shift_delta = float(
-                    jnp.max(jnp.abs(new_shifts - jnp.asarray(self.shifts)))
-                )
-                self.shifts = new_shifts
-                if self.verbose:
-                    print(
-                        f"Refined motion against the HR estimate "
-                        f"(max shift change {shift_delta:.4g} HR px)."
-                    )
             if self.verbose:
                 print(
                     f"IRLS Iteration complete (#{iteration}). New loss is {cost} "
@@ -1141,11 +1166,12 @@ class IRLSMapSolver(MapSolverBase):
                 np.savez(checkpoint_path, **payload)
             if (
                 abs(cost_difference) < opts.irls_cost_difference_threshold
-                and shift_delta < 1e-4
+                and last_refine_delta < 1e-4
             ):
-                # Converged — and the last refinement (if any) no longer
-                # moves the motion (a refinement changes the objective, so
-                # cost alone cannot certify joint convergence).
+                # Converged — and the LAST-RUN refinement no longer moves
+                # the motion (a refinement changes the objective, so cost
+                # alone cannot certify joint convergence; inf until one has
+                # run at all).
                 break
             if (
                 opts.max_num_irls_iterations > 0
