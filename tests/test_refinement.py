@@ -40,7 +40,7 @@ TRUE = [(0, 0), (1.25, 0.5), (-0.75, 1.5), (0.5, -1.25)]
 # regime where alternating solve/refine contracts fast (~4x on the first
 # round). At K == s^2 the data term is exactly determined and x absorbs
 # most of the shift error (contraction ~0.65/round; see
-# experiments/cpu_refine_dallas.py for the production-geometry numbers).
+# experiments/tpu_refine_loo.py for the production-geometry numbers).
 TRUE6 = TRUE + [(0.3, 0.9), (-1.1, -0.4)]
 
 
@@ -176,3 +176,33 @@ class TestSolverIntegration:
         )
         assert resolved.use_pallas_data_term
         assert resolved.pallas_shift_bound > 0.0
+
+
+def test_refine_every_two_does_not_exit_before_first_refinement():
+    """Regression (round-4 review): with refine_motion_every > 1 and an IRLS
+    cost that converges immediately, the loop must keep going until a
+    refinement round has RUN and settled — not exit with the requested
+    refinement never executed."""
+    x, kernel, obs = _problem(shifts=TRUE6)
+    rng = np.random.default_rng(31)
+    pert = np.asarray(TRUE6) + np.where(
+        np.arange(len(TRUE6))[:, None] == 0, 0.0,
+        rng.uniform(-0.1, 0.1, (len(TRUE6), 2)),
+    )
+    seq = MotionShiftSequence([MotionShift(dx, dy) for dx, dy in pert])
+    model = ImageModel.create(
+        ImageModelParameters(scale=2, blur_radius=3, blur_sigma=1.0,
+                             motion_sequence=seq)
+    )
+    opts = IRLSMapSolverOptions(
+        max_num_irls_iterations=6, max_num_solver_iterations=25,
+        # A huge threshold: cost "converges" on iteration 1, before the
+        # first refinement (due at iteration 2) — the buggy gate exited here.
+        irls_cost_difference_threshold=1e12,
+        refine_motion_every=2,
+    )
+    solver = IRLSMapSolver(opts, model, [np.asarray(o) for o in obs])
+    solver.add_regularizer(TotalVariationRegularizer(), 1e-4)
+    solver.solve(jnp.zeros_like(x))
+    moved = np.max(np.abs(np.asarray(solver.shifts) - pert))
+    assert moved > 1e-3, "refinement never ran before the loop exited"

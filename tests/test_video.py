@@ -62,3 +62,26 @@ def test_play_original_video_headless(frame_dir, monkeypatch):
     assert paths is not None and len(paths) == 4
     frame = cv2.imread(paths[0])
     assert frame.shape[:2] == (600, 1000)
+
+
+def test_video_super_resolver_with_motion_refinement(frame_dir):
+    """Video sliding windows + refine_motion_every: each window's estimated
+    motion is refined against its evolving HR estimate; options pass through
+    VideoSuperResolver untouched (the refiner executable is cached
+    module-wide across the per-window solver instances)."""
+    from super_resolution_tpu.solvers import IRLSMapSolverOptions
+
+    loader = VideoLoader()
+    loader.load_frames_from_directory(frame_dir)
+    frames = loader.frame_stack()
+    opts = IRLSMapSolverOptions(
+        max_num_irls_iterations=2, max_num_solver_iterations=6,
+        refine_motion_every=1,
+    )
+    resolver = VideoSuperResolver(
+        scale=2, temporal_window=3, blur_radius=3, blur_sigma=0.7,
+        solver_options=opts,
+    )
+    out = resolver.super_resolve(frames)
+    assert out.shape == (4, 1, 56, 56)
+    assert np.isfinite(out).all()
