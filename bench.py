@@ -65,6 +65,25 @@ def _psnr(a, b) -> float:
     return round(min(value, 99.99), 2)
 
 
+def _quality(result: dict, floor_db: float) -> dict:
+    """Attach the config's quality FLOOR and a machine-readable verdict:
+    a TPU-side numerical break (e.g. a Mosaic miscompile the interpret-mode
+    CPU tests never execute) drops the benched solve's PSNR below the floor
+    and FAILS the bench visibly, instead of shipping a fast wrong number.
+    Floors sit ~1-2 dB under the recorded round-4 anchors — loose enough
+    for iteration-count/threshold drift, tight enough that a corrupted
+    gradient (tens of dB off) can't pass."""
+    result["psnr_floor_db"] = floor_db
+    result["quality_ok"] = bool(result.get("psnr_db", 0.0) >= floor_db)
+    if not result["quality_ok"]:
+        print(
+            f"QUALITY FAILURE: {result['metric']} psnr_db="
+            f"{result.get('psnr_db')} < floor {floor_db}",
+            file=sys.stderr, flush=True,
+        )
+    return result
+
+
 def _solve_throughput(observations, shifts, kernel, scale, regs, iters,
                       pallas_tile, hr_shape, dynamic_bound=None, repeats=3,
                       count_pixels=None, **vg_kwargs):
@@ -146,14 +165,14 @@ def bench_map_tv(dtype=np.float32, iters=50, repeats=3):
         # tile that runs), so the auto ladder cannot pick this itself.
         (512, 1024), gt.shape, repeats=repeats,
     )
-    return {
+    return _quality({
         "metric": "map_solver_throughput_4x_dallas",
         "value": value,
         "unit": "Mpixel-iters/s/chip",
         "vs_baseline": round(value / REFERENCE_MPIX_ITERS, 3),
         "spread": spread,
         "psnr_db": _psnr(x, gt),
-    }
+    }, floor_db=23.0)
 
 
 def _tv_regs():
@@ -181,14 +200,14 @@ def bench_map_btv(dtype=np.float32, iters=50, repeats=3):
         observations, shifts, kernel, 4, regs, iters, (128, 1024), gt.shape,
         repeats=repeats,
     )
-    return {
+    return _quality({
         "metric": "map_btv_throughput_4x_dallas",
         "value": value,
         "unit": "Mpixel-iters/s/chip",
         "vs_baseline": round(value / REFERENCE_MPIX_ITERS, 3),
         "spread": spread,
         "psnr_db": _psnr(x, gt),
-    }
+    }, floor_db=23.0)
 
 
 def bench_map_btv_estimated(dtype=np.float32, iters=50, repeats=3):
@@ -303,7 +322,7 @@ def bench_map_btv_estimated(dtype=np.float32, iters=50, repeats=3):
     err_est = float(np.max(np.abs(est_hr - np.asarray(true_shifts))))
     err_ref = float(np.max(np.abs(np.asarray(refined) - np.asarray(true_shifts))))
     value = round(max(values), 3)
-    return {
+    return _quality({
         "metric": "map_btv_estimated_motion_throughput_4x_dallas_rgb",
         "value": value,
         "unit": "Mpixel-iters/s/chip",
@@ -319,7 +338,7 @@ def bench_map_btv_estimated(dtype=np.float32, iters=50, repeats=3):
         "psnr_bilinear_db": _psnr(bilinear, gt),
         "psnr_estimated_db": _psnr(x_est, gt),
         "psnr_known_motion_db": _psnr(x_true, gt),
-    }
+    }, floor_db=24.0)
 
 
 def bench_hyperspectral(dtype=np.float32, iters=20, bands=64, repeats=3):
@@ -353,14 +372,14 @@ def bench_hyperspectral(dtype=np.float32, iters=20, bands=64, repeats=3):
         repeats=repeats,
     )
     # Mpixel counts all bands: bands x H x W per iteration.
-    return {
+    return _quality({
         "metric": f"map_hyperspectral_{bands}band_throughput",
         "value": value,
         "unit": "Mpixel-iters/s/chip",
         "vs_baseline": round(value / REFERENCE_MPIX_ITERS, 3),
         "spread": spread,
         "psnr_db": _psnr(x, gt),
-    }
+    }, floor_db=31.0)
 
 
 def bench_hyperspectral_pca(dtype=np.float32, iters=20, bands=64, repeats=3):
@@ -446,7 +465,7 @@ def bench_hyperspectral_pca(dtype=np.float32, iters=20, bands=64, repeats=3):
     # untimed), plus the projection round trip alone for attribution.
     recon_solve = pca.back_project(x_pca)
     recon_rt = pca.back_project(pca.project(gt))
-    return {
+    return _quality({
         "metric": f"map_hyperspectral_pca_{bands}band_throughput",
         "value": value,
         "unit": "Mpixel-iters/s/chip",
@@ -457,7 +476,7 @@ def bench_hyperspectral_pca(dtype=np.float32, iters=20, bands=64, repeats=3):
         "pca_seconds": round(t_pca, 3),
         "psnr_db": _psnr(recon_solve, gt),
         "pca_roundtrip_psnr_db": _psnr(recon_rt, gt),
-    }
+    }, floor_db=15.0)
 
 
 def bench_shift_add(dtype=np.float32, repeats=3):
@@ -504,14 +523,14 @@ def bench_shift_add(dtype=np.float32, repeats=3):
     crop = (slice(None), slice(4, -4), slice(4, -4))
     gt_c = np.asarray(gt[0])[None][crop]
     out_c = np.asarray(out)[None][crop] if out.ndim == 2 else np.asarray(out)[crop]
-    return {
+    return _quality({
         "metric": "shift_add_fusion_throughput_2x_dallas_qtr",
         "value": round(max(values), 3),
         "unit": "Mpixel/s/chip",
         "vs_baseline": None,
         "spread": [round(min(values), 3), round(max(values), 3)],
         "psnr_db": _psnr(out_c, gt_c),
-    }
+    }, floor_db=60.0)
 
 
 def bench_wavelet(dtype=np.float32, iters=25, repeats=3, pad_to=512,
@@ -564,14 +583,14 @@ def bench_wavelet(dtype=np.float32, iters=25, repeats=3, pad_to=512,
     hs = gt_sub.shape[1]
     x_real = np.asarray(x)[:, :hs, :hs]
     crop = (slice(None), slice(2, -2), slice(2, -2))
-    return {
+    return _quality({
         "metric": "map_wavelet_domain_throughput_4x_dallas",
         "value": value,
         "unit": "Mpixel-iters/s/chip",
         "vs_baseline": round(value / REFERENCE_MPIX_ITERS, 3),
         "spread": spread,
         "psnr_db": _psnr(x_real[crop], gt_sub[crop]),
-    }
+    }, floor_db=15.0)
 
 
 def bench_scaling(dtype=np.float32, iters=5, repeats=2, device_counts=None,
