@@ -195,3 +195,19 @@ class TestFusedIrlsOnMeshes:
         with pytest.warns(RuntimeWarning, match="falling back"):
             with pytest.raises(ValueError, match="fused_irls on this mesh"):
                 solver.solve(jnp.zeros_like(hr))
+
+    def test_spatial_mesh(self):
+        """fused_irls x row/col mesh: the all-in-graph IRLS loop around the
+        halo-exchange tiled fused-kernel objective (the third mesh route the
+        shared builder serves)."""
+        import pytest
+
+        from super_resolution_tpu.parallel import COL_AXIS, ROW_AXIS, make_mesh
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        hr, model, obs = self._problem(channels=1)
+        mesh = make_mesh({ROW_AXIS: 2, COL_AXIS: 2}, jax.devices()[:4])
+        host = self._run(model, obs, hr, mesh)
+        fused = self._run(model, obs, hr, mesh, fused_irls=True)
+        assert matrices_equal(fused, host, 1e-8)
