@@ -89,6 +89,13 @@ def resolve_auto_options(opts, *, backend: str, shifts, frame_mesh: bool = False
         refining = getattr(resolved, "refine_motion_every", 0) > 0
         if resolved.use_pallas_data_term and (fractional or frame_mesh or refining):
             max_abs = float(np.max(np.abs(shifts_np))) if shifts_np.size else 0.0
+            # When refinement will move the shifts, resolve the bucket with
+            # headroom: the initial estimate can sit exactly at a bucket edge
+            # (e.g. max|shift| = 2.0) while the true motion is slightly
+            # larger, and the refiner clips to the compiled kernel's bound —
+            # without headroom it would silently saturate there forever.
+            if refining:
+                max_abs += 0.25
             resolved.pallas_shift_bound = float(shift_bound_bucket(max_abs))
         else:
             resolved.pallas_shift_bound = 0.0
@@ -1112,8 +1119,19 @@ class IRLSMapSolver(MapSolverBase):
             # traced argument on this path by construction). Dispatched
             # BEFORE the batched readback so its delta scalar rides the one
             # device_get below instead of paying its own ~25 ms tunnel RPC.
+            # Skip a refinement whose result could never be consumed: when
+            # the iteration cap fires right after this iteration, no further
+            # inner solve runs, so refining here would only make the reported
+            # shifts disagree with the motion that produced the returned x
+            # (and waste a Gauss-Newton dispatch).
+            cap_next = (
+                opts.max_num_irls_iterations > 0
+                and iteration + 1 >= opts.max_num_irls_iterations
+            )
             refined_now = (
-                refiner is not None and (iteration + 1) % refine_every == 0
+                refiner is not None
+                and (iteration + 1) % refine_every == 0
+                and not cap_next
             )
             if refined_now:
                 self.shifts, delta_dev = refiner(
@@ -1166,7 +1184,8 @@ class IRLSMapSolver(MapSolverBase):
                 np.savez(checkpoint_path, **payload)
             if (
                 abs(cost_difference) < opts.irls_cost_difference_threshold
-                and last_refine_delta < 1e-4
+                and last_refine_delta
+                < getattr(opts, "refine_motion_delta_threshold", 1e-4)
             ):
                 # Converged — and the LAST-RUN refinement no longer moves
                 # the motion (a refinement changes the objective, so cost

@@ -96,6 +96,12 @@ class IRLSMapSolverOptions(MapSolverOptions):
     # Gauss-Newton steps per refinement round (2 reaches machine precision
     # against a converged x; the damped steps are ~free next to a solve).
     refine_motion_iterations: int = 2
+    # Joint-convergence gate: a converged cost only certifies convergence
+    # when the last refinement round moved every shift by less than this
+    # (HR px). Raise it for low-texture stacks where Gauss-Newton dithers
+    # near the damping floor — otherwise every refined solve runs to
+    # max_num_irls_iterations even with the cost criterion satisfied.
+    refine_motion_delta_threshold: float = 1e-4
 
     def adjust_thresholds_adaptively(
         self, num_parameters: int, regularization_parameter_sum: float

@@ -27,9 +27,14 @@ def _textured_image(h, w, seed=5):
     rng = np.random.default_rng(seed)
     base = rng.random((h, w))
     k = np.asarray(gaussian_kernel_2d(3, 1.0))
-    from scipy.signal import convolve2d
+    # Symmetric-boundary smoothing via the repo's own correlate2d (kernel is
+    # symmetric, so correlation == convolution): pad reflectively, run the
+    # 'SAME' zero-padded correlation, crop the interior back out.
+    from super_resolution_tpu.ops.blur import correlate2d
 
-    sm = convolve2d(base, k, mode="same", boundary="symm")
+    p = k.shape[0] // 2
+    padded = np.pad(base, p, mode="symmetric")
+    sm = np.asarray(correlate2d(jnp.asarray(padded), jnp.asarray(k)))[p:-p, p:-p]
     sm = (sm - sm.min()) / (sm.max() - sm.min())
     return jnp.asarray(sm[None])
 
