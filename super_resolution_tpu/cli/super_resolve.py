@@ -66,8 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--regularization_parameter", type=float, default=0.01,
                    help="The regularization parameter (lambda). 0 disables regularization.")
     # Solver parameters:
-    p.add_argument("--solver", default="cg", choices=["cg", "lbfgs"],
-                   help="The least squares solver to use.")
+    p.add_argument("--solver", default="cg", choices=["cg", "linear_cg", "lbfgs"],
+                   help="The least squares solver to use. 'linear_cg' is the "
+                        "exact-step CG for the quadratic IRLS inner "
+                        "subproblem: one objective evaluation per iteration "
+                        "instead of the Wolfe search's ~1.56.")
     p.add_argument("--solver_iterations", type=int, default=50,
                    help="The maximum number of solver iterations.")
     p.add_argument("--gradient_norm_threshold", type=float, default=1e-6,

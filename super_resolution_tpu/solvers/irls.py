@@ -143,6 +143,7 @@ def irls_solve_fused(
             cost_decrease_threshold=options.cost_decrease_threshold,
             parameter_variation_threshold=options.parameter_variation_threshold,
             memory=options.num_lbfgs_hessian_corrections,
+            linear_cg_refresh_every=options.linear_cg_refresh_every,
         )
         if phase_converters:
             result = result._replace(x=phase_converters[1](result.x))
@@ -812,6 +813,7 @@ class IRLSMapSolver(MapSolverBase):
                         cost_decrease_threshold=opts.cost_decrease_threshold,
                         parameter_variation_threshold=opts.parameter_variation_threshold,
                         memory=opts.num_lbfgs_hessian_corrections,
+                        linear_cg_refresh_every=opts.linear_cg_refresh_every,
                         log_iterations=self.verbose,
                     )
                     if phase_io:
@@ -896,6 +898,7 @@ class IRLSMapSolver(MapSolverBase):
                         cost_decrease_threshold=opts.cost_decrease_threshold,
                         parameter_variation_threshold=opts.parameter_variation_threshold,
                         memory=opts.num_lbfgs_hessian_corrections,
+                        linear_cg_refresh_every=opts.linear_cg_refresh_every,
                         log_iterations=self.verbose,
                     )
 
@@ -948,6 +951,7 @@ class IRLSMapSolver(MapSolverBase):
                 cost_decrease_threshold=opts.cost_decrease_threshold,
                 parameter_variation_threshold=opts.parameter_variation_threshold,
                 memory=opts.num_lbfgs_hessian_corrections,
+                linear_cg_refresh_every=opts.linear_cg_refresh_every,
                 log_iterations=self.verbose,
             )
             if phase_io:

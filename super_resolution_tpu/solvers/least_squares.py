@@ -249,6 +249,160 @@ def wolfe_line_search(
     return final.a_star, final.phi_star, final.g_star, final.found, final.it
 
 
+class _LinCGState(NamedTuple):
+    k: jnp.ndarray
+    x: jnp.ndarray
+    f: jnp.ndarray
+    g: jnp.ndarray
+    d: jnp.ndarray
+    alpha_prev: jnp.ndarray
+    converged: jnp.ndarray
+    n_evals: jnp.ndarray
+
+
+def _minimize_linear_cg(
+    value_and_grad: Callable,
+    x0: jnp.ndarray,
+    max_iterations: int,
+    eps_g: jnp.ndarray,
+    eps_f: jnp.ndarray,
+    eps_x: jnp.ndarray,
+    refresh_every: int,
+    log_iterations: bool,
+) -> MinimizeResult:
+    """Exact-step CG for the (piecewise-)quadratic IRLS inner subproblem.
+
+    With the IRLS weights fixed, the MAP inner objective is quadratic in
+    ``x`` except on the measure-zero sign-crossing set of the TV/BTV forward
+    differences (residuals are sums of |linear|, so ``w r^2`` is piecewise
+    quadratic). The strong-Wolfe machinery is then pure overhead — measured
+    1.56 objective evaluations per CG iteration on the flagship
+    (experiments/tpu_linesearch_tuning.py) for steps a quadratic model gives
+    in closed form. Per iteration this method spends exactly ONE evaluation,
+    at the trial point ``x + t d``:
+
+        H d      = (g(x + t d) - g(x)) / t        (exact for quadratics)
+        alpha    = -g.d / d.H d                   (the exact minimizing step)
+        g_{k+1}  = g + alpha H d                  (gradient is affine)
+        f_{k+1}  = f + alpha g.d + alpha^2/2 d.Hd
+
+    plus a TRUE re-evaluation of ``(f, g)`` at the accepted point every
+    ``refresh_every`` iterations, which bounds both the floating-point drift
+    of the extrapolation and the model error from sign-boundary crossings
+    (evals/iteration = 1 + 1/refresh_every). Directions update with
+    Polak-Ribiere+ exactly as :func:`minimize`'s ``"cg"`` method; on a true
+    quadratic the two converge to the same point, this one without the
+    bracketing evals. Replaces the same ALGLIB inner-solver seam
+    (``src/optimization/alglib_objective.cpp:27-75``).
+    """
+    dtype = x0.dtype
+    f0, g0 = value_and_grad(x0)
+    f0 = f0.astype(dtype)
+    tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
+
+    init = _LinCGState(
+        k=jnp.zeros((), jnp.int32),
+        x=x0,
+        f=f0,
+        g=g0,
+        d=-g0,
+        alpha_prev=jnp.zeros((), dtype),
+        converged=_norm(g0) <= eps_g,
+        n_evals=jnp.ones((), jnp.int32),
+    )
+
+    def cond(s: _LinCGState):
+        return (s.k < max_iterations) & (~s.converged)
+
+    def body(s: _LinCGState):
+        dphi = _vdot(s.g, s.d).astype(dtype)
+        # Restart with steepest descent if d is not a descent direction.
+        bad_dir = dphi >= 0
+        d = jnp.where(bad_dir, -s.g, s.d)
+        dphi = jnp.where(bad_dir, -_vdot(s.g, s.g).astype(dtype), dphi)
+
+        gnorm = _norm(s.g).astype(dtype)
+        # Trial scale for the secant: the previous accepted step is the right
+        # order of magnitude (keeps the gradient difference well above
+        # rounding); 1/|g| bootstraps iteration 0.
+        t = jnp.where(
+            s.k == 0,
+            1.0 / jnp.maximum(gnorm, 1e-12),
+            jnp.clip(s.alpha_prev, 1e-12, 1e12),
+        )
+        f_t, g_t = value_and_grad(s.x + t * d)
+        f_t = f_t.astype(dtype)
+        hd = (g_t - s.g) / t
+        dhd = _vdot(d, hd).astype(dtype)
+
+        pos = dhd > tiny
+        alpha_exact = -dphi / jnp.where(pos, dhd, 1.0)
+        # Nonpositive curvature along d (possible only from sign-boundary
+        # crossings / rounding on this convex objective): fall back to the
+        # trial point if it decreased f, else stop.
+        took_trial = (~pos) & (f_t < s.f)
+        alpha = jnp.where(pos, alpha_exact, jnp.where(took_trial, t, 0.0))
+
+        x_new = s.x + alpha * d
+        g_lin = s.g + alpha * hd
+        f_lin = s.f + alpha * dphi + 0.5 * alpha * alpha * dhd
+        g_lin = jnp.where(took_trial, g_t, g_lin)
+        f_lin = jnp.where(took_trial, f_t, f_lin)
+
+        do_refresh = (s.k + 1) % refresh_every == 0
+
+        def refresh(_):
+            f_r, g_r = value_and_grad(x_new)
+            return f_r.astype(dtype), g_r
+
+        f_new, g_new = lax.cond(
+            do_refresh, refresh, lambda _: (f_lin, g_lin), operand=None
+        )
+
+        # Polak-Ribiere+ on the (possibly refreshed) gradients.
+        beta = _vdot(g_new, g_new - s.g) / jnp.maximum(
+            _vdot(s.g, s.g), tiny
+        )
+        beta = jnp.maximum(beta, 0.0).astype(dtype)
+        d_new = -g_new + beta * d
+
+        if log_iterations:
+            jax.debug.print(
+                "Iteration complete ({k}). Sum of squared residuals = {f}",
+                k=s.k + 1, f=f_new,
+            )
+
+        stalled = alpha == 0.0
+        step_norm = jnp.abs(alpha) * _norm(d)
+        g_small = _norm(g_new) <= eps_g
+        f_small = jnp.abs(s.f - f_new) <= eps_f * jnp.maximum(
+            jnp.maximum(jnp.abs(s.f), jnp.abs(f_new)), 1.0
+        )
+        x_small = step_norm <= eps_x
+        converged = g_small | f_small | x_small | stalled
+
+        return _LinCGState(
+            k=s.k + 1,
+            x=x_new,
+            f=f_new,
+            g=g_new,
+            d=d_new,
+            alpha_prev=jnp.abs(alpha),
+            converged=converged,
+            n_evals=s.n_evals + 1 + do_refresh.astype(jnp.int32),
+        )
+
+    final = lax.while_loop(cond, body, init)
+    return MinimizeResult(
+        x=final.x,
+        cost=final.f,
+        grad_norm=_norm(final.g),
+        iterations=final.k,
+        converged=final.converged,
+        num_evaluations=final.n_evals,
+    )
+
+
 class _MinState(NamedTuple):
     k: jnp.ndarray
     x: jnp.ndarray
@@ -279,15 +433,21 @@ def minimize(
     log_iterations: bool = False,
     line_search: LineSearchConfig | None = None,
     initial_step_mode: str = "scaled",
+    linear_cg_refresh_every: int = 8,
 ) -> MinimizeResult:
     """Minimize a smooth objective given its fused value+gradient function.
 
     ``method`` is ``"cg"`` (Polak-Ribiere+ nonlinear CG, the reference's
-    default solver) or ``"lbfgs"``. All options are static; the returned
+    default solver), ``"lbfgs"``, or ``"linear_cg"`` (exact-step CG for the
+    quadratic IRLS inner subproblem — one objective evaluation per iteration
+    instead of the Wolfe search's measured 1.56; see
+    :func:`_minimize_linear_cg`). All options are static; the returned
     computation is a single jittable graph.
     """
-    if method not in ("cg", "lbfgs"):
-        raise ValueError(f"Unknown method {method!r}; options: 'cg', 'lbfgs'")
+    if method not in ("cg", "lbfgs", "linear_cg"):
+        raise ValueError(
+            f"Unknown method {method!r}; options: 'cg', 'lbfgs', 'linear_cg'"
+        )
     if initial_step_mode not in ("scaled", "quadratic", "quadratic_min"):
         raise ValueError(
             f"Unknown initial_step_mode {initial_step_mode!r}; options: "
@@ -314,6 +474,11 @@ def minimize(
     eps_g = jnp.asarray(gradient_norm_threshold, dtype)
     eps_f = jnp.asarray(cost_decrease_threshold, dtype)
     eps_x = jnp.asarray(parameter_variation_threshold, dtype)
+    if method == "linear_cg":
+        return _minimize_linear_cg(
+            value_and_grad, x0, max_iterations, eps_g, eps_f, eps_x,
+            max(1, linear_cg_refresh_every), log_iterations,
+        )
     ls_config = line_search or LineSearchConfig(c2=0.4 if method == "cg" else 0.9)
 
     f0, g0 = value_and_grad(x0)

@@ -90,3 +90,81 @@ def test_invalid_options_raise():
         minimize(vg, x0, method="lbfgs", initial_step_mode="quadratic")
     with pytest.raises(ValueError, match="method"):
         minimize(vg, x0, method="newton")
+
+
+def test_linear_cg_quadratic_exact_and_eval_count():
+    """Exact-step CG on a true quadratic: converges to the solution with ONE
+    evaluation per iteration (plus the initial one and periodic refreshes)."""
+    vg, x_star = _quadratic_problem()
+    result = minimize(
+        vg,
+        jnp.zeros_like(x_star),
+        method="linear_cg",
+        max_iterations=200,
+        gradient_norm_threshold=1e-8,
+        cost_decrease_threshold=0.0,
+        parameter_variation_threshold=0.0,
+        linear_cg_refresh_every=8,
+    )
+    np.testing.assert_allclose(np.asarray(result.x), np.asarray(x_star), atol=1e-6)
+    assert bool(result.converged)
+    it = int(result.iterations)
+    ev = int(result.num_evaluations)
+    # 1 initial + 1/iter + one refresh every 8 iterations.
+    assert ev <= it + 1 + it // 8 + 1
+    # CG on an SPD quadratic terminates in <= n steps (n = 16) + slack.
+    assert it <= 20
+
+
+def test_linear_cg_matches_wolfe_cg_on_quadratic():
+    vg, x_star = _quadratic_problem(n=24, seed=3)
+    kwargs = dict(
+        max_iterations=300,
+        gradient_norm_threshold=1e-9,
+        cost_decrease_threshold=0.0,
+        parameter_variation_threshold=0.0,
+    )
+    r_wolfe = minimize(vg, jnp.zeros_like(x_star), method="cg", **kwargs)
+    r_lin = minimize(vg, jnp.zeros_like(x_star), method="linear_cg", **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(r_lin.x), np.asarray(r_wolfe.x), atol=1e-6
+    )
+    # The whole point: strictly fewer objective evaluations.
+    assert int(r_lin.num_evaluations) < int(r_wolfe.num_evaluations)
+
+
+def test_linear_cg_piecewise_quadratic():
+    """An IRLS-shaped piecewise-quadratic objective (quadratic + w*|Dx|^2-style
+    abs cross terms): the refresh bounds the extrapolation model error and the
+    method still lands on the reference-CG minimizer."""
+    rng = np.random.default_rng(7)
+    n = 12
+    a = rng.normal(size=(n, n))
+    h = jnp.asarray(a @ a.T + n * np.eye(n))
+    b = jnp.asarray(rng.normal(size=n))
+    d1 = jnp.asarray(np.diff(np.eye(n), axis=0))  # forward differences
+
+    def f(x):
+        r = jnp.abs(d1 @ x)
+        # (|d_i| + |d_{i+1}|)^2-style coupling: piecewise quadratic, C^0 kinks.
+        rsum = r[:-1] + r[1:]
+        return 0.5 * x @ h @ x - b @ x + 0.05 * jnp.sum(rsum * rsum)
+
+    vg = jax.value_and_grad(f)
+    kwargs = dict(
+        max_iterations=400,
+        gradient_norm_threshold=1e-8,
+        cost_decrease_threshold=0.0,
+        parameter_variation_threshold=0.0,
+    )
+    r_wolfe = minimize(vg, jnp.zeros((n,)), method="cg", **kwargs)
+    r_lin = minimize(
+        vg, jnp.zeros((n,)), method="linear_cg",
+        linear_cg_refresh_every=4, **kwargs
+    )
+    f_wolfe = float(r_wolfe.cost)
+    f_lin = float(vg(r_lin.x)[0])  # true cost at linear_cg's answer
+    assert f_lin <= f_wolfe + 1e-6 * max(1.0, abs(f_wolfe))
+    np.testing.assert_allclose(
+        np.asarray(r_lin.x), np.asarray(r_wolfe.x), atol=1e-4
+    )

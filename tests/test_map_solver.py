@@ -253,3 +253,45 @@ def test_real_big_image_exact_recovery(test_data_dir):
         assert matrices_equal_cropped_border(
             result[channel], ground_truth[channel], 1, SOLVER_TOL
         )
+
+
+def test_small_data_linear_cg():
+    """Exact-step CG lands on the same exact recovery as the reference-path
+    Wolfe CG (the inner IRLS subproblem is (piecewise-)quadratic — see
+    solvers/least_squares.py _minimize_linear_cg)."""
+    low_res_images, model, ground_truth = _small_data_problem()
+    opts = IRLSMapSolverOptions(least_squares_solver="linear_cg")
+    solver = IRLSMapSolver(opts, model, low_res_images)
+    result = solver.solve(np.zeros((1, 4, 4)))
+    assert matrices_equal(np.asarray(result)[0], ground_truth, SOLVER_TOL)
+
+
+def test_real_icon_linear_cg_matches_wolfe_cg(test_data_dir):
+    """Convergence-point parity with the default Wolfe-CG on the pseudo-
+    inverse oracle geometry, WITH a TV regularizer (piecewise-quadratic
+    inner objective — the harder case for the extrapolated gradients), and
+    strictly fewer objective evaluations."""
+    image = cv2.imread(f"{test_data_dir}/fb.png", cv2.IMREAD_GRAYSCALE)
+    ground_truth = image.astype(np.float64) / 255.0
+    h, w = ground_truth.shape
+    seq = MotionShiftSequence(
+        [MotionShift(0, 0), MotionShift(1, 0), MotionShift(0, 1), MotionShift(1, 1)]
+    )
+    model = ImageModel.create(ImageModelParameters(scale=2, motion_sequence=seq))
+    low_res_images = [np.asarray(model.apply(ground_truth[None], k)) for k in range(4)]
+    initial = np.asarray(linear_resize(jnp.asarray(low_res_images[0]), (h, w)))
+
+    results = {}
+    evals = {}
+    for method in ("cg", "linear_cg"):
+        opts = IRLSMapSolverOptions(
+            least_squares_solver=method, max_num_irls_iterations=3
+        )
+        solver = IRLSMapSolver(opts, model, low_res_images)
+        solver.add_regularizer(TotalVariationRegularizer(), 0.001)
+        results[method] = np.asarray(solver.solve(initial))[0]
+        evals[method] = sum(c[2] for c in solver.last_inner_calls)
+    assert matrices_equal_cropped_border(
+        results["linear_cg"], results["cg"], 1, SOLVER_TOL
+    )
+    assert evals["linear_cg"] < evals["cg"]
