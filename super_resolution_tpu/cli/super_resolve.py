@@ -66,11 +66,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--regularization_parameter", type=float, default=0.01,
                    help="The regularization parameter (lambda). 0 disables regularization.")
     # Solver parameters:
-    p.add_argument("--solver", default="cg", choices=["cg", "linear_cg", "lbfgs"],
+    p.add_argument("--solver", default="cg",
+                   choices=["cg", "linear_cg", "lbfgs", "admm"],
                    help="The least squares solver to use. 'linear_cg' is the "
                         "exact-step CG for the quadratic IRLS inner "
                         "subproblem: one objective evaluation per iteration "
-                        "instead of the Wolfe search's ~1.56.")
+                        "instead of the Wolfe search's ~1.56. 'admm' replaces "
+                        "the IRLS loop entirely with the exact L1-TV "
+                        "splitting solver (2D TV only).")
+    p.add_argument("--admm_rho", type=float, default=1.0,
+                   help="ADMM penalty parameter (only with --solver admm).")
+    p.add_argument("--admm_cg_iterations", type=int, default=10,
+                   help="Linear-CG steps per ADMM x-update (only with --solver admm).")
     p.add_argument("--solver_iterations", type=int, default=50,
                    help="The maximum number of solver iterations.")
     p.add_argument("--gradient_norm_threshold", type=float, default=1e-6,
@@ -133,6 +140,33 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
     from super_resolution_tpu.ops.btv import BilateralTotalVariationRegularizer
     from super_resolution_tpu.ops.tv import TotalVariationRegularizer
     from super_resolution_tpu.solvers import IRLSMapSolver, IRLSMapSolverOptions
+
+    if args.solver == "admm":
+        from super_resolution_tpu.solvers import AdmmSolver, AdmmSolverOptions
+
+        if getattr(args, "num_devices", 0) and args.num_devices > 1:
+            raise SystemExit("--solver admm is single-device; drop --num_devices.")
+        if args.regularization_parameter > 0.0 and args.regularizer != "tv":
+            raise SystemExit(
+                "--solver admm implements the exact L1 splitting for 2D TV "
+                "only (--regularizer tv); use the IRLS solvers for BTV/3D TV."
+            )
+        admm_options = AdmmSolverOptions(
+            max_num_solver_iterations=args.solver_iterations,
+            rho=args.admm_rho,
+            admm_cg_iterations=args.admm_cg_iterations,
+        )
+        solver = AdmmSolver(admm_options, image_model, input_images,
+                            print_solver_output=args.verbose)
+        if args.regularization_parameter > 0.0:
+            solver.add_regularizer(TotalVariationRegularizer(),
+                                   args.regularization_parameter)
+        start = time.perf_counter()
+        result = solver.solve(initial_estimate)
+        elapsed = time.perf_counter() - start
+        if args.verbose:
+            print(f"Done! Finished in {elapsed:.3f} seconds.")
+        return result
 
     tile_spec = str(args.pallas_tile)
     if "x" in tile_spec:

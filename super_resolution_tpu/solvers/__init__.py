@@ -3,6 +3,10 @@ from super_resolution_tpu.solvers.map_solver import (  # noqa: F401
     MapSolverOptions,
 )
 from super_resolution_tpu.solvers.irls import IRLSMapSolver  # noqa: F401
+from super_resolution_tpu.solvers.admm import (  # noqa: F401
+    AdmmSolver,
+    AdmmSolverOptions,
+)
 from super_resolution_tpu.solvers.least_squares import (  # noqa: F401
     MinimizeResult,
     minimize,

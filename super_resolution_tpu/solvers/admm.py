@@ -30,7 +30,7 @@ from jax import lax
 
 from super_resolution_tpu.solvers.objective import data_term_cost_and_grad
 
-__all__ = ["admm_solve", "AdmmResult"]
+__all__ = ["admm_solve", "AdmmResult", "AdmmSolver", "AdmmSolverOptions"]
 
 
 class AdmmResult(NamedTuple):
@@ -139,3 +139,113 @@ def admm_solve(
     primal = jnp.sqrt(jnp.sum((gx - z) ** 2))
     dual = rho * jnp.sqrt(jnp.sum(_gt(z - _g(x0)) ** 2))
     return AdmmResult(x=x, iterations=num_iterations, primal_residual=primal, dual_residual=dual)
+
+
+import dataclasses
+
+from super_resolution_tpu.solvers.map_solver import MapSolverOptions
+from super_resolution_tpu.solvers.solver import MapSolverBase
+
+
+@dataclasses.dataclass
+class AdmmSolverOptions(MapSolverOptions):
+    """ADMM options; ``max_num_solver_iterations`` is the outer ADMM
+    iteration count (matching the reference's shared MapSolverOptions seam,
+    ``admm_solver.h:15-27``)."""
+
+    rho: float = 1.0
+    # Linear-CG steps per x-subproblem solve (warm-started at the previous
+    # x, so a handful suffices).
+    admm_cg_iterations: int = 10
+
+
+class AdmmSolver(MapSolverBase):
+    """ADMM MAP solver implementing the :class:`Solver` interface.
+
+    The reference stubs this class as a MapSolver subclass that returns its
+    input (``src/optimization/admm_solver.cpp:10-34``); this one wraps the
+    working :func:`admm_solve` so ADMM is a first-class, CLI-reachable peer
+    of :class:`IRLSMapSolver`. Unlike IRLS (which squares the anisotropic TV
+    residual and reweights), ADMM minimizes the true L1-TV objective — the
+    two meet at the same reconstructions on the inverse-crime tests.
+
+    Supports exactly one 2D :class:`TotalVariationRegularizer` term (the
+    exact L1 splitting implemented by :func:`admm_solve`); no regularizer
+    degrades to plain least squares. BTV / 3D TV splittings are not
+    implemented — use IRLS for those.
+    """
+
+    def __init__(self, options: AdmmSolverOptions, image_model, low_res_images,
+                 print_solver_output: bool = False):
+        super().__init__(image_model, low_res_images, print_solver_output)
+        self.options = options
+        motion = image_model.motion_operator
+        k = self.observations.shape[0]
+        if motion is not None:
+            arr = motion.motion_sequence.as_array()
+            if arr.shape[0] < k:
+                raise ValueError("Fewer motion shifts than LR frames.")
+            self.shifts = jnp.asarray(arr[:k])
+            b = 2
+            while b < motion.max_shift:
+                b *= 2
+            self.max_shift = b
+        else:
+            self.shifts = jnp.zeros((k, 2))
+            self.max_shift = 2
+        blur = image_model.blur_operator
+        self.blur_kernel = None if blur is None else jnp.asarray(blur.kernel)
+        self._solve_jit = None
+
+    def solve(self, initial_estimate):
+        from super_resolution_tpu.image.image_data import ImageData
+        from super_resolution_tpu.ops.tv import TotalVariationRegularizer
+
+        arr = getattr(initial_estimate, "array", initial_estimate)
+        x0 = jnp.asarray(arr)
+        if x0.ndim == 2:
+            x0 = x0[None]
+        if x0.shape != self.hr_shape:
+            raise ValueError(
+                f"Initial estimate shape {x0.shape} != expected {self.hr_shape}"
+            )
+
+        tv_lambda = 1e-8  # ~unregularized least squares
+        if self.regularizers:
+            if len(self.regularizers) != 1:
+                raise ValueError("AdmmSolver supports exactly one regularizer.")
+            reg, lam = self.regularizers[0]
+            if not isinstance(reg, TotalVariationRegularizer) or getattr(
+                reg, "use_3d", False
+            ):
+                raise ValueError(
+                    "AdmmSolver implements the exact L1 splitting for 2D TV "
+                    "only; use IRLSMapSolver for BTV / 3D TV."
+                )
+            tv_lambda = lam
+
+        opts = self.options
+        if self._solve_jit is None:
+            import jax as _jax
+
+            self._solve_jit = _jax.jit(
+                lambda x0, obs, shifts, lam: admm_solve(
+                    x0, obs, shifts, self.blur_kernel, self.scale,
+                    tv_lambda=lam, rho=opts.rho,
+                    num_iterations=opts.max_num_solver_iterations,
+                    cg_iterations=opts.admm_cg_iterations,
+                    max_shift=self.max_shift,
+                ).x
+            )
+        x = self._solve_jit(x0, self.observations, self.shifts, tv_lambda)
+        if self.verbose:
+            print(
+                f"ADMM done ({opts.max_num_solver_iterations} iterations, "
+                f"rho={opts.rho}, lambda={tv_lambda})."
+            )
+        if isinstance(initial_estimate, ImageData):
+            return ImageData(
+                x, normalize="never", channel_major=True,
+                spectral_mode=initial_estimate.spectral_mode,
+            )
+        return x

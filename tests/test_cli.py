@@ -177,3 +177,28 @@ def test_visualize_image(small_image, capsys, monkeypatch):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Image Statistics" in out
+
+
+def test_super_resolve_admm_solver(tmp_path, small_image, capsys):
+    """--solver admm routes to the AdmmSolver (the reference's stub made
+    first-class) through the same binary surface."""
+    result_path = str(tmp_path / "admm.png")
+    rc = super_resolve_main([
+        "--data_path", small_image,
+        "--generate_lr_images",
+        "--number_of_frames", "4",
+        "--upsampling_scale", "2",
+        "--blur_radius", "0",
+        "--motion_sequence_path",
+        "/root/reference/test_data/test_motion_sequence_4.txt",
+        "--solver", "admm",
+        "--solver_iterations", "20",
+        "--admm_cg_iterations", "6",
+        "--regularization_parameter", "0.005",
+        "--evaluators", "psnr",
+        "--result_path", result_path,
+    ])
+    assert rc == 0
+    assert os.path.exists(result_path)
+    out = capsys.readouterr().out
+    assert "PSNR score on result" in out
