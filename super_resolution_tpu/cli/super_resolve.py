@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--estimate_motion", action="store_true",
                    help="Estimate motion with phase-correlation registration "
                         "(used when no motion_sequence_path is given).")
+    p.add_argument("--robust_registration", action="store_true",
+                   help="Use per-block consensus (RANSAC-analog) phase "
+                        "correlation for --estimate_motion — for stacks with "
+                        "corrupted regions or locally violated translation.")
     # Solver strategy parameters:
     p.add_argument("--optimization_iterations", type=int, default=20,
                    help="Max number of IRLS iterations.")
@@ -117,7 +121,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "zero recompiles.")
     # Distribution:
     p.add_argument("--num_devices", type=int, default=0,
-                   help="Shard frames over this many devices (0 = single device).")
+                   help="Shard the solve over this many devices (0 = single "
+                        "device); the axis is picked by --mesh.")
+    p.add_argument("--mesh", default="frame",
+                   choices=["frame", "band", "rowcol", "row", "col"],
+                   help="Mesh axis for --num_devices: 'frame' shards LR "
+                        "frames (data parallel), 'band' shards spectral "
+                        "channels, 'rowcol' tiles the HR image over a "
+                        "near-square row x col grid with halo exchange "
+                        "('row'/'col' force one spatial axis).")
+    # Checkpoint/resume (host-IRLS-loop solves):
+    p.add_argument("--checkpoint", default="", metavar="PATH",
+                   help="Save IRLS state (x, weights, iteration, refined "
+                        "shifts) at every iteration seam to PATH.npz; "
+                        "combine with --resume to continue an interrupted "
+                        "solve. Host-loop IRLS only (not --fused_irls).")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume from --checkpoint if it exists.")
     # Evaluation and output:
     p.add_argument("--verbose", action="store_true",
                    help="Solver will log progress and image stats will be printed.")
@@ -197,14 +217,34 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
     )
     mesh = None
     if args.num_devices and args.num_devices > 1:
-        from super_resolution_tpu.parallel import FRAME_AXIS, make_mesh
-
         import jax
 
-        mesh = make_mesh({FRAME_AXIS: args.num_devices},
-                         jax.devices()[: args.num_devices])
+        from super_resolution_tpu.parallel import (
+            BAND_AXIS,
+            COL_AXIS,
+            FRAME_AXIS,
+            ROW_AXIS,
+            make_mesh,
+        )
+
+        n = args.num_devices
+        kind = getattr(args, "mesh", "frame")
+        if kind == "frame":
+            axes = {FRAME_AXIS: n}
+        elif kind == "band":
+            axes = {BAND_AXIS: n}
+        elif kind == "row":
+            axes = {ROW_AXIS: n}
+        elif kind == "col":
+            axes = {COL_AXIS: n}
+        else:  # rowcol: near-square factorization (rows x cols = n)
+            r = int(np.sqrt(n))
+            while n % r:
+                r -= 1
+            axes = {ROW_AXIS: n // r, COL_AXIS: r}
+        mesh = make_mesh(axes, jax.devices()[:n])
         if args.verbose:
-            print(f"Sharding frames over {args.num_devices} devices.")
+            print(f"Sharding over {n} devices: mesh {axes}.")
     solver = IRLSMapSolver(options, image_model, input_images,
                            print_solver_output=args.verbose, mesh=mesh)
     if args.regularization_parameter > 0.0:
@@ -221,8 +261,10 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
 
     if args.verbose:
         print(f"Super-resolving from {len(input_images)} images...")
+    ckpt = getattr(args, "checkpoint", "") or None
     start = time.perf_counter()
-    result = solver.solve(initial_estimate)
+    result = solver.solve(initial_estimate, checkpoint_path=ckpt,
+                          resume=getattr(args, "resume", False))
     elapsed = time.perf_counter() - start
     # Build cost lives in the FIRST (cold) solve's first inner call — the
     # warmed benchmark repeats below overwrite last_inner_calls with calls
@@ -236,7 +278,8 @@ def _setup_and_run_solver(args, image_model, input_images, initial_estimate):
     warm_calls = cold_calls[1:]
     for _ in range(max(0, args.benchmark_repeats - 1)):
         start = time.perf_counter()
-        result = solver.solve(initial_estimate)
+        result = solver.solve(initial_estimate, checkpoint_path=ckpt,
+                              resume=getattr(args, "resume", False))
         elapsed = time.perf_counter() - start
         warm_calls += list(getattr(solver, "last_inner_calls", []))
     if args.verbose:
@@ -406,7 +449,9 @@ def main(argv=None) -> int:
         )
         from super_resolution_tpu.motion.registration import translational_registration
 
-        seq_lr = translational_registration(low_res_images)
+        seq_lr = translational_registration(
+            low_res_images, robust=args.robust_registration
+        )
         s = args.upsampling_scale
         seq = MotionShiftSequence(
             [MotionShift(sh.dx * s, sh.dy * s) for sh in seq_lr]

@@ -202,3 +202,91 @@ def test_super_resolve_admm_solver(tmp_path, small_image, capsys):
     assert os.path.exists(result_path)
     out = capsys.readouterr().out
     assert "PSNR score on result" in out
+
+
+def test_super_resolve_checkpoint_resume(tmp_path, small_image, capsys):
+    """--checkpoint saves IRLS state at every iteration seam; --resume
+    continues from it (the binary-level interrupt/resume story the API
+    already had)."""
+    ck = str(tmp_path / "state")
+    common = [
+        "--data_path", small_image,
+        "--generate_lr_images",
+        "--number_of_frames", "4",
+        "--upsampling_scale", "2",
+        "--blur_radius", "0",
+        "--motion_sequence_path",
+        "/root/reference/test_data/test_motion_sequence_4.txt",
+        "--regularization_parameter", "0.005",
+        "--solver_iterations", "10",
+        "--verbose",
+    ]
+    rc = super_resolve_main(common + [
+        "--optimization_iterations", "2", "--checkpoint", ck,
+    ])
+    assert rc == 0
+    assert os.path.exists(ck + ".npz")
+    capsys.readouterr()
+    rc = super_resolve_main(common + [
+        "--optimization_iterations", "4", "--checkpoint", ck, "--resume",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Resumed IRLS" in out
+
+
+def test_super_resolve_robust_registration(tmp_path, test_data_dir, capsys):
+    # dallas_qtr (250^2): the per-block consensus needs blocks >= 16 px, so
+    # the LR frames must be big enough for a 3x3 grid.
+    out_dir = str(tmp_path / "lr")
+    rc = generate_data_main([
+        "--input_image", f"{test_data_dir}/dallas_qtr.jpg",
+        "--output_image_dir", out_dir,
+        "--number_of_frames", "4",
+        "--upsampling_scale", "2",
+        "--blur_radius", "0",
+        "--motion_sequence_path", f"{test_data_dir}/test_motion_sequence_4.txt",
+    ])
+    assert rc == 0
+    rc = super_resolve_main([
+        "--data_path", out_dir,
+        "--estimate_motion",
+        "--robust_registration",
+        "--upsampling_scale", "2",
+        "--blur_radius", "0",
+        "--interpolate_color",
+        "--regularization_parameter", "0",
+        "--optimization_iterations", "1",
+        "--solver_iterations", "6",
+        "--verbose",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Estimated motion" in out
+
+
+@pytest.mark.parametrize("mesh,ndev", [("band", 3), ("rowcol", 4)])
+def test_super_resolve_mesh_flag(tmp_path, small_image, capsys, mesh, ndev):
+    """--mesh generalizes --num_devices beyond the frame axis (band and
+    spatial row x col meshes were API-only before)."""
+    result_path = str(tmp_path / f"mesh_{mesh}.png")
+    rc = super_resolve_main([
+        "--data_path", small_image,
+        "--generate_lr_images",
+        "--number_of_frames", "4",
+        "--upsampling_scale", "2",
+        "--blur_radius", "0",
+        "--motion_sequence_path",
+        "/root/reference/test_data/test_motion_sequence_4.txt",
+        "--regularization_parameter", "0.005",
+        "--optimization_iterations", "1",
+        "--solver_iterations", "8",
+        "--num_devices", str(ndev),
+        "--mesh", mesh,
+        "--verbose",
+        "--result_path", result_path,
+    ])
+    assert rc == 0
+    assert os.path.exists(result_path)
+    out = capsys.readouterr().out
+    assert "Sharding over" in out
