@@ -30,6 +30,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from super_resolution_tpu.image.image_data import ImageData
 from super_resolution_tpu.models.image_model import ImageModel
@@ -109,6 +110,8 @@ def irls_solve_fused(
     options: IRLSMapSolverOptions,
     phase_converters=None,
     return_iterations: bool = False,
+    shifts0=None,
+    refiner=None,
 ):
     """The entire IRLS solve as ONE jittable computation.
 
@@ -119,18 +122,46 @@ def irls_solve_fused(
     no host round-trips, and shards across a mesh when the objective carries
     sharded terms. (The host-loop variant in :class:`IRLSMapSolver` keeps
     checkpointing and logging; use this one for production throughput.)
+
+    With ``refiner`` (and ``shifts0``), motion refinement joins the fused
+    loop: the shifts become loop-carried state, the builder is called as
+    ``value_and_grad_builder(weights, shifts)``, and every
+    ``options.refine_motion_every`` IRLS iterations the body runs
+    ``refiner(x, shifts) -> (new_shifts, max|change|)`` under a ``lax.cond``
+    — the whole alternating solve-x/refine-motion scheme compiles to one
+    XLA program (one SPMD program on a frame mesh). Convergence then
+    requires BOTH the cost criterion and the last refinement delta below
+    ``options.refine_motion_delta_threshold`` (mirroring the host loop),
+    and a refinement whose result could never be consumed (iteration cap
+    next) is skipped. Returns ``(..., shifts)`` as the final element.
     """
     regs = tuple(regularizers)
     thr = jnp.asarray(options.irls_cost_difference_threshold, x0.dtype)
     max_irls = options.max_num_irls_iterations or 10_000
+    refine_every = (
+        getattr(options, "refine_motion_every", 0) if refiner is not None else 0
+    )
+    if refiner is not None and (shifts0 is None or refine_every <= 0):
+        raise ValueError(
+            "refiner requires shifts0 and options.refine_motion_every > 0."
+        )
+    delta_thr = jnp.asarray(
+        getattr(options, "refine_motion_delta_threshold", 1e-4), x0.dtype
+    )
+    # Loop-carried shifts (a dummy scalar when refinement is off, so the
+    # carry structure is static).
+    shifts_init = shifts0 if refiner is not None else jnp.zeros((), x0.dtype)
 
-    def inner(x, weights):
+    def inner(x, weights, shifts):
         # Bind the weights ONCE per inner solve: the builder may pack
         # weight-derived constants (e.g. the fused kernel's TV windows),
         # and emitting that packing inside the CG while_loop body would
         # re-run it per objective evaluation (XLA does not hoist it —
         # measured at ~40% of solve time on TPU).
-        prepared = value_and_grad_builder(weights)
+        if refiner is not None:
+            prepared = value_and_grad_builder(weights, shifts)
+        else:
+            prepared = value_and_grad_builder(weights)
         # Optional (to_planes, from_planes): run the inner solve on
         # polyphase planes, converting once per IRLS iteration (the
         # reweighting needs image-space residuals).
@@ -149,42 +180,66 @@ def irls_solve_fused(
             result = result._replace(x=phase_converters[1](result.x))
         return result
 
-    if not regs:
-        result = inner(x0, ())
+    if not regs and refiner is None:
+        result = inner(x0, (), shifts_init)
         if return_iterations:
             return result.x, result.cost, result.iterations
         return result.x, result.cost
 
     weights0 = tuple(jnp.ones_like(x0) for _ in regs)
     inf = jnp.asarray(jnp.inf, x0.dtype)
+    # inf until a refinement round has run (the requested refinement must
+    # execute before the joint gate can certify convergence); 0 when off.
+    delta_init = (
+        jnp.asarray(jnp.inf, x0.dtype)
+        if refiner is not None
+        else jnp.zeros((), x0.dtype)
+    )
 
     def cond(state):
-        _, _, _, it, _, done = state
+        done, it = state[5], state[3]
         return (~done) & (it < max_irls)
 
     def body(state):
-        x, weights, prev_cost, it, inner_its, _ = state
-        result = inner(x, weights)
+        x, weights, prev_cost, it, inner_its, _, shifts, last_delta = state
+        result = inner(x, weights, shifts)
         x_new, cost = result.x, result.cost.astype(x0.dtype)
         new_weights = tuple(
             1.0 / jnp.maximum(_MIN_RESIDUAL, reg.residuals(x_new))
             for (reg, _), _w in zip(regs, weights)
         )
+        if refiner is not None:
+            cap_next = (it + 1) >= max_irls
+            due = ((it + 1) % refine_every == 0) & (~cap_next)
+
+            def do_refine(sh):
+                new_sh, delta = refiner(x_new, sh)
+                return new_sh, delta.astype(x0.dtype)
+
+            shifts_new, last_delta = lax.cond(
+                due, do_refine, lambda sh: (sh, last_delta), shifts
+            )
+        else:
+            shifts_new = shifts
         diff = prev_cost - cost
-        done = jnp.abs(diff) < thr
+        done = (jnp.abs(diff) < thr) & (last_delta < delta_thr)
         return (
             x_new, new_weights, cost, it + 1,
             inner_its + result.iterations.astype(jnp.int32), done,
+            shifts_new, last_delta,
         )
 
-    x, _, cost, _, inner_its, _ = jax.lax.while_loop(
+    x, _, cost, _, inner_its, _, shifts_out, _ = lax.while_loop(
         cond, body,
         (x0, weights0, inf, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-         jnp.zeros((), jnp.bool_)),
+         jnp.zeros((), jnp.bool_), shifts_init, delta_init),
     )
+    out = (x, cost)
     if return_iterations:
-        return x, cost, inner_its
-    return x, cost
+        out = out + (inner_its,)
+    if refiner is not None:
+        out = out + (shifts_out,)
+    return out
 
 # Minimum residual for IRLS reweighting (``irls_map_solver.cpp:34``).
 _MIN_RESIDUAL = 1e-5
@@ -332,6 +387,7 @@ class IRLSMapSolver(MapSolverBase):
         else:
             self.shifts = jnp.zeros((k, 2))
             self.max_shift = 2
+        self._shifts_placement = None
         if mesh is not None:
             from super_resolution_tpu.parallel.mesh import FRAME_AXIS, named_sharding
 
@@ -342,9 +398,8 @@ class IRLSMapSolver(MapSolverBase):
                 and k % sizes[FRAME_AXIS] == 0
                 else None
             )
-            self.shifts = jax.device_put(
-                self.shifts, named_sharding(mesh, frame, None)
-            )
+            self._shifts_placement = named_sharding(mesh, frame, None)
+            self.shifts = jax.device_put(self.shifts, self._shifts_placement)
 
         blur = image_model.blur_operator
         self.blur_kernel = None if blur is None else jnp.asarray(blur.kernel)
@@ -406,16 +461,13 @@ class IRLSMapSolver(MapSolverBase):
                 "checkpoint/resume."
             )
         if getattr(opts, "refine_motion_every", 0) > 0:
-            if opts.fused_irls:
+            if self.mesh is not None and not self._pure_frame_mesh():
                 raise ValueError(
-                    "refine_motion_every needs the host IRLS loop (the "
-                    "refinement seam sits between inner solves); disable "
-                    "fused_irls."
-                )
-            if self.mesh is not None:
-                raise ValueError(
-                    "refine_motion_every is single-device for now (mesh "
-                    "shifts are sharded placement state)."
+                    "refine_motion_every on a mesh requires a pure frame "
+                    "mesh: band and spatial placements bake or tile the "
+                    "shifts, but refinement needs them as runtime data "
+                    "(the frame-sharded objective already carries per-device "
+                    "shifts)."
                 )
             if opts.use_pallas_data_term and not opts.pallas_shift_bound > 0.0:
                 raise ValueError(
@@ -448,7 +500,11 @@ class IRLSMapSolver(MapSolverBase):
             and opts.diff_mode == "analytic"
             and self.mesh is None
         )
-        shifts_baked = (
+        # Refined solves carry the shifts as runtime data on EVERY allowed
+        # path (the rejections above enforce it), so their values never bake
+        # into a trace — keying on them would rebuild per refinement.
+        refining = getattr(opts, "refine_motion_every", 0) > 0
+        shifts_baked = not refining and (
             self.mesh is not None
             or (
                 opts.diff_mode == "analytic"
@@ -498,7 +554,21 @@ class IRLSMapSolver(MapSolverBase):
                 else (f"{checkpoint_path}.npz" if checkpoint_path else None)
             )
             if opts.fused_irls:
-                x, cost, its = inner(self._place_initial(x0), obs, self.shifts)
+                if refining:
+                    x, cost, its, new_shifts = inner(
+                        self._place_initial(x0), obs, self.shifts
+                    )
+                    # Later channel rounds (and later solve() calls) start
+                    # from the refined motion, like the host loop.
+                    self.shifts = new_shifts
+                    if self._shifts_placement is not None:
+                        self.shifts = jax.device_put(
+                            self.shifts, self._shifts_placement
+                        )
+                else:
+                    x, cost, its = inner(
+                        self._place_initial(x0), obs, self.shifts
+                    )
                 # One batched readback (see _run_irls_loop: per-scalar
                 # device_get costs ~25 ms RPC latency through the tunnel).
                 cost_v, its_v = jax.device_get((cost, its))
@@ -526,6 +596,18 @@ class IRLSMapSolver(MapSolverBase):
 
         sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
         return sizes.get(FRAME_AXIS, 1) > 1
+
+    def _pure_frame_mesh(self) -> bool:
+        """True when every non-frame mesh axis has size 1 — the placement
+        where shifts are per-device runtime data and x is replicated, so
+        motion refinement composes with the distribution (GSPMD shards the
+        per-frame Gauss-Newton over the frame axis)."""
+        if self.mesh is None:
+            return False
+        from super_resolution_tpu.parallel.mesh import FRAME_AXIS
+
+        sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        return all(n == 1 for name, n in sizes.items() if name != FRAME_AXIS)
 
     def _mesh_pallas_vg_builder(self, opts, channels_per_split: int):
         """Route a mesh solve onto a fused-Pallas sharded vg builder.
@@ -732,12 +814,25 @@ class IRLSMapSolver(MapSolverBase):
                     "that fall back to the traced objective."
                 )
             regs_mesh = tuple(self.regularizers)
+            refining = getattr(opts, "refine_motion_every", 0) > 0
+            refine_step = self._refine_step_fn(opts) if refining else None
 
             def fused_mesh(x0, observations, shifts):
                 vg = make_vg(observations, shifts)
                 converters = (
                     (vg.to_planes, vg.from_planes) if mesh_phase_io else None
                 )
+                if refining:
+                    # Frame mesh (enforced in solve()): shifts are per-device
+                    # runtime data of the sharded vg, so the refined set
+                    # re-enters the same SPMD program each IRLS iteration.
+                    return irls_solve_fused(
+                        lambda w, s: make_vg(observations, s).prepare(w),
+                        regs_mesh, x0, opts,
+                        phase_converters=converters, return_iterations=True,
+                        shifts0=shifts,
+                        refiner=lambda x, s: refine_step(x, observations, s),
+                    )
                 return irls_solve_fused(
                     vg.prepare, regs_mesh, x0, opts,
                     phase_converters=converters, return_iterations=True,
@@ -759,23 +854,36 @@ class IRLSMapSolver(MapSolverBase):
         )
         phase_io = use_pallas_here and self._phase_io_ok(regs)
 
+        refining = getattr(opts, "refine_motion_every", 0) > 0
+        refine_step = self._refine_step_fn(opts) if refining else None
+
         def fused(x0, observations, shifts):
-            vg = make_map_value_and_grad(
-                observations, shifts, kernel, scale, regs,
-                max_shift=self.max_shift, diff_mode=opts.diff_mode,
-                static_shifts=None if (
-                    pallas_dynamic or opts.diff_mode != "analytic"
-                    or not (opts.use_static_shifts or opts.use_pallas_data_term)
-                ) else static_shifts,
-                use_pallas=use_pallas_here,
-                pallas_tile=opts.pallas_tile,
-                pallas_shift_bound=opts.pallas_shift_bound if pallas_dynamic else 0.0,
-                pallas_channel_block=opts.pallas_channel_block,
-                phase_io=phase_io,
-            )
+            def build_vg(s):
+                return make_map_value_and_grad(
+                    observations, s, kernel, scale, regs,
+                    max_shift=self.max_shift, diff_mode=opts.diff_mode,
+                    static_shifts=None if (
+                        pallas_dynamic or opts.diff_mode != "analytic"
+                        or not (opts.use_static_shifts or opts.use_pallas_data_term)
+                    ) else static_shifts,
+                    use_pallas=use_pallas_here,
+                    pallas_tile=opts.pallas_tile,
+                    pallas_shift_bound=opts.pallas_shift_bound if pallas_dynamic else 0.0,
+                    pallas_channel_block=opts.pallas_channel_block,
+                    phase_io=phase_io,
+                )
+
+            vg = build_vg(shifts)
             converters = (
                 (vg.to_planes, vg.from_planes) if phase_io else None
             )
+            if refining:
+                return irls_solve_fused(
+                    lambda w, s: build_vg(s).prepare(w),
+                    regs, x0, opts, phase_converters=converters,
+                    return_iterations=True, shifts0=shifts,
+                    refiner=lambda x, s: refine_step(x, observations, s),
+                )
             return irls_solve_fused(
                 vg.prepare, regs, x0, opts, phase_converters=converters,
                 return_iterations=True,
@@ -1026,10 +1134,42 @@ class IRLSMapSolver(MapSolverBase):
             fn = self._inner_cache[key] = jax.jit(reweight)
         return lambda x: fn(x)
 
+    def _refine_step_fn(self, opts):
+        """Pure Gauss-Newton refinement STEP ``(x, observations, shifts) ->
+        (new_shifts, max|change|)`` with the kernel-bound clip fused in.
+        Jittable and mesh-transparent: under GSPMD a frame-sharded
+        observations/shifts pair shards the per-frame Gauss-Newton across
+        the frame axis with x replicated — the same function serves the
+        host-loop refiner, the fused-IRLS loop body, and frame meshes."""
+        from super_resolution_tpu.motion.refinement import refine_shifts
+
+        kern = self.blur_kernel
+        bound = (
+            float(opts.pallas_shift_bound)
+            if opts.use_pallas_data_term and opts.pallas_shift_bound > 0.0
+            else 0.0
+        )
+        scale = self.scale
+        max_shift = self.max_shift
+        gn_iters = opts.refine_motion_iterations
+
+        def step(x, observations, shifts):
+            refined = refine_shifts(
+                x, observations, shifts, kern, scale,
+                num_iterations=gn_iters, max_shift=max_shift,
+            )
+            if bound > 0.0:
+                # The shift-generic kernel's margins are sized for
+                # |shift| <= bound; refinement must not step outside the
+                # compiled program's contract.
+                refined = jnp.clip(refined, -bound, bound)
+            return refined, jnp.max(jnp.abs(refined - shifts))
+
+        return step
+
     def _shift_refiner(self, opts):
-        """Jitted Gauss-Newton refinement STEP: ``(x, observations, shifts)
-        -> (new_shifts, max|change|)`` with the kernel-bound clip fused in —
-        one device dispatch per refinement round, and the delta scalar rides
+        """Jitted wrapper of :meth:`_refine_step_fn` for the host IRLS loop —
+        one device dispatch per refinement round, the delta scalar riding
         the loop's existing batched ``device_get``. Cached MODULE-wide like
         the inner solvers (all arguments traced, so video sliding windows —
         a fresh solver per frame — reuse one jit wrapper)."""
@@ -1046,24 +1186,7 @@ class IRLSMapSolver(MapSolverBase):
         )
         fn = self._inner_cache.get(key) or _BUILT_SOLVER_CACHE.get(key)
         if fn is None:
-            from super_resolution_tpu.motion.refinement import refine_shifts
-
-            scale = self.scale
-            max_shift = self.max_shift
-            gn_iters = opts.refine_motion_iterations
-
-            @jax.jit
-            def fn(x, observations, shifts):
-                refined = refine_shifts(
-                    x, observations, shifts, kern, scale,
-                    num_iterations=gn_iters, max_shift=max_shift,
-                )
-                if bound > 0.0:
-                    # The shift-generic kernel's margins are sized for
-                    # |shift| <= bound; refinement must not step outside the
-                    # compiled program's contract.
-                    refined = jnp.clip(refined, -bound, bound)
-                return refined, jnp.max(jnp.abs(refined - shifts))
+            fn = jax.jit(self._refine_step_fn(opts))
             _BUILT_SOLVER_CACHE[key] = fn
             while len(_BUILT_SOLVER_CACHE) > _BUILT_SOLVER_CACHE_MAX:
                 _BUILT_SOLVER_CACHE.popitem(last=False)
@@ -1105,6 +1228,10 @@ class IRLSMapSolver(MapSolverBase):
             if "shifts" in state:
                 # Motion-refined solves checkpoint the evolving shifts too.
                 self.shifts = jnp.asarray(state["shifts"])
+                if self._shifts_placement is not None:
+                    self.shifts = jax.device_put(
+                        self.shifts, self._shifts_placement
+                    )
             if self.verbose:
                 print(f"Resumed IRLS from {checkpoint_path} at iteration {iteration}.")
         # inf until a refinement ROUND has actually run and converged: with
@@ -1141,6 +1268,14 @@ class IRLSMapSolver(MapSolverBase):
                 self.shifts, delta_dev = refiner(
                     result.x, observations, self.shifts
                 )
+                if self._shifts_placement is not None:
+                    # Pin the refined shifts back to the frame-sharded
+                    # placement the inner executable was compiled for (the
+                    # refiner jit may return a GSPMD-inferred layout; a
+                    # placement drift would compile a second executable).
+                    self.shifts = jax.device_put(
+                        self.shifts, self._shifts_placement
+                    )
             # ONE batched device_get for every host-side scalar: through the
             # remote tunnel each separate scalar readback costs ~25 ms of
             # RPC latency (measured — comparable to the whole 50-iteration

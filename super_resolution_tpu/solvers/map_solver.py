@@ -96,8 +96,11 @@ class IRLSMapSolverOptions(MapSolverOptions):
     # Requires shifts to be runtime data of the inner solve (AUTO selects
     # the shift-generic kernel when this is on), so the refined shifts
     # reuse ONE compiled executable. The reference estimates motion once
-    # and never revisits it (registration.cpp:161-201). Host-loop,
-    # single-device solves only.
+    # and never revisits it (registration.cpp:161-201). Composes with the
+    # host IRLS loop AND fused_irls (the refinement joins the fused
+    # lax.while_loop), single-device or on a pure frame mesh (the per-frame
+    # Gauss-Newton shards over the frame axis under GSPMD); band/spatial
+    # meshes are rejected (they bake or tile the shifts).
     refine_motion_every: int = 0
     # Gauss-Newton steps per refinement round (2 reaches machine precision
     # against a converged x; the damped steps are ~free next to a solve).

@@ -87,7 +87,8 @@ def test_refiner_is_damped_on_flat_frames():
 
 
 class TestSolverIntegration:
-    def _solve(self, est_shifts, refine, scale=2, irls_iters=6):
+    def _solve(self, est_shifts, refine, scale=2, irls_iters=6, fused=False,
+               mesh=None):
         x, kernel, obs = _problem(scale=scale, shifts=TRUE6)
         seq = MotionShiftSequence([MotionShift(dx, dy) for dx, dy in est_shifts])
         model = ImageModel.create(
@@ -102,8 +103,10 @@ class TestSolverIntegration:
             # same iterations for the PSNR comparison to be apples-to-apples.
             irls_cost_difference_threshold=0.0,
             refine_motion_every=1 if refine else 0,
+            fused_irls=fused,
         )
-        solver = IRLSMapSolver(opts, model, [np.asarray(o) for o in obs])
+        solver = IRLSMapSolver(opts, model, [np.asarray(o) for o in obs],
+                               mesh=mesh)
         solver.add_regularizer(TotalVariationRegularizer(), 1e-4)
         out = np.asarray(solver.solve(jnp.zeros_like(x)))
         return x, out, np.asarray(solver.shifts)
@@ -161,14 +164,55 @@ class TestSolverIntegration:
             opts = IRLSMapSolverOptions(refine_motion_every=1, **kw)
             return IRLSMapSolver(opts, model, [np.asarray(o) for o in obs])
 
-        with pytest.raises(ValueError, match="fused_irls"):
-            build(fused_irls=True).solve(jnp.zeros_like(x))
         with pytest.raises(ValueError, match="runtime data"):
             build(use_pallas_data_term=True, pallas_shift_bound=0.0).solve(
                 jnp.zeros_like(x)
             )
         with pytest.raises(ValueError, match="use_static_shifts"):
             build(use_static_shifts=True).solve(jnp.zeros_like(x))
+        # Non-frame meshes stay rejected (band/spatial placements bake or
+        # tile the shifts); pure frame meshes are supported since round 5.
+        import jax as _jax
+
+        from super_resolution_tpu.parallel import ROW_AXIS, make_mesh
+
+        row_mesh = make_mesh({ROW_AXIS: 2}, _jax.devices()[:2])
+        with pytest.raises(ValueError, match="pure frame mesh"):
+            IRLSMapSolver(
+                IRLSMapSolverOptions(refine_motion_every=1), model,
+                [np.asarray(o) for o in obs], mesh=row_mesh,
+            ).solve(jnp.zeros_like(x))
+
+    def test_fused_irls_refinement_matches_host_loop(self):
+        """The refinement folded into the fused lax.while_loop runs the same
+        alternating scheme as the host loop — same inner solves, same
+        Gauss-Newton rounds, same cap-skip — so the two land together."""
+        pert = self._perturbed(seed=23, mag=0.1)
+        x, out_host, shifts_host = self._solve(pert, refine=True, irls_iters=4)
+        _, out_fused, shifts_fused = self._solve(
+            pert, refine=True, irls_iters=4, fused=True
+        )
+        np.testing.assert_allclose(shifts_fused, shifts_host, atol=1e-8)
+        np.testing.assert_allclose(out_fused, out_host, atol=1e-6)
+
+    def test_frame_mesh_refinement_matches_single_device(self):
+        """refine_motion_every > 0 on a pure frame mesh (host loop): GSPMD
+        shards the per-frame Gauss-Newton over the frame axis and the solve
+        matches the single-device refined solve."""
+        import jax as _jax
+
+        from super_resolution_tpu.parallel import FRAME_AXIS, make_mesh
+
+        pert = self._perturbed(seed=24, mag=0.1)
+        x, out_single, shifts_single = self._solve(
+            pert, refine=True, irls_iters=4
+        )
+        mesh = make_mesh({FRAME_AXIS: 2}, _jax.devices()[:2])
+        _, out_mesh, shifts_mesh = self._solve(
+            pert, refine=True, irls_iters=4, mesh=mesh
+        )
+        np.testing.assert_allclose(shifts_mesh, shifts_single, atol=1e-7)
+        np.testing.assert_allclose(out_mesh, out_single, atol=1e-6)
 
     def test_auto_routing_selects_shift_generic_kernel(self):
         """refine_motion_every>0 + Pallas AUTO -> the shift-generic kernel
