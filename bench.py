@@ -73,6 +73,14 @@ def _quality(result: dict, floor_db: float) -> dict:
     Floors sit ~1-2 dB under the recorded round-4 anchors — loose enough
     for iteration-count/threshold drift, tight enough that a corrupted
     gradient (tens of dB off) can't pass."""
+    # Round 5: floors are REFERENCE-DERIVED wherever the C++ reference can
+    # run the geometry. The A/B/C parity goldens anchor the map configs
+    # (config C: reference 23.794 dB, BASELINE_MEASURED.md); the wavelet and
+    # PCA geometries were run through the rebuilt reference itself
+    # (/tmp/refbuild2 drivers, round 5): reference wavelet solve 18.17 dB,
+    # reference PCA solve 17.14 dB on the identical inputs and iteration
+    # budgets — each floor sits 0.25 dB under its reference number (the
+    # north-star <=0.1 dB contract + session noise).
     result["psnr_floor_db"] = floor_db
     result["quality_ok"] = bool(result.get("psnr_db", 0.0) >= floor_db)
     if not result["quality_ok"]:
@@ -84,9 +92,20 @@ def _quality(result: dict, floor_db: float) -> dict:
     return result
 
 
+# Production inner solver for every solve-throughput config (round 5):
+# exact-step CG for the quadratic IRLS inner subproblem — ONE objective
+# evaluation per iteration instead of the Wolfe search's measured 1.56,
+# AND better per-iteration progress (measured on the wavelet geometry at 25
+# iters, f64 CPU: linear_cg cost 204.9 / 18.20 dB vs Wolfe-CG 277.9 /
+# 17.35 dB vs the C++ reference's ALGLIB CG 206.1 / 18.17 dB — the exact
+# quadratic step beats both line searches). Quality floors below gate any
+# regression.
+SOLVER_METHOD = "linear_cg"
+
+
 def _solve_throughput(observations, shifts, kernel, scale, regs, iters,
                       pallas_tile, hr_shape, dynamic_bound=None, repeats=3,
-                      count_pixels=None, **vg_kwargs):
+                      count_pixels=None, method=None, **vg_kwargs):
     """Mpixel-iters/s of a fixed-iteration fused-Pallas CG solve.
 
     Returns ``(best, spread, x_final)``: the best of ``repeats`` warm timed
@@ -129,7 +148,7 @@ def _solve_throughput(observations, shifts, kernel, scale, regs, iters,
             x_start = vg.to_planes(x_start)
         result = minimize(
             vg.prepare(weights), x_start,
-            method="cg", max_iterations=iters,
+            method=method or SOLVER_METHOD, max_iterations=iters,
             gradient_norm_threshold=0.0, cost_decrease_threshold=0.0,
             parameter_variation_threshold=0.0,
         )
@@ -261,7 +280,8 @@ def bench_map_btv_estimated(dtype=np.float32, iters=50, repeats=3):
         )
         x_start = vg.to_planes(x0) if use_pallas else x0
         result = minimize(
-            vg.prepare(weights), x_start, method="cg", max_iterations=iters,
+            vg.prepare(weights), x_start, method=SOLVER_METHOD,
+            max_iterations=iters,
             gradient_norm_threshold=0.0, cost_decrease_threshold=0.0,
             parameter_variation_threshold=0.0,
         )
@@ -476,7 +496,9 @@ def bench_hyperspectral_pca(dtype=np.float32, iters=20, bands=64, repeats=3):
         "pca_seconds": round(t_pca, 3),
         "psnr_db": _psnr(recon_solve, gt),
         "pca_roundtrip_psnr_db": _psnr(recon_rt, gt),
-    }, floor_db=15.0)
+        # The C++ reference (SpectralPca + IRLS, identical cube/budget)
+        # measures 17.14 dB here (round-5 driver); floor = ref - 0.25.
+    }, floor_db=16.9)
 
 
 def bench_shift_add(dtype=np.float32, repeats=3):
@@ -589,8 +611,13 @@ def bench_wavelet(dtype=np.float32, iters=25, repeats=3, pad_to=512,
         "unit": "Mpixel-iters/s/chip",
         "vs_baseline": round(value / REFERENCE_MPIX_ITERS, 3),
         "spread": spread,
+        # The C++ reference (its own WaveletTransform + IRLS on the same
+        # stacked-subband problem and budget) measures 18.17 dB (round-5
+        # driver); floor = ref - 0.25. Reaching it REQUIRES the exact-step
+        # linear_cg inner solver — the Wolfe CG undershoots to 17.35 dB at
+        # this budget on the mixed-scale subband channels.
         "psnr_db": _psnr(x_real[crop], gt_sub[crop]),
-    }, floor_db=15.0)
+    }, floor_db=17.9)
 
 
 def bench_video(dtype=np.float32, num_frames=8, repeats=1):

@@ -518,6 +518,8 @@ def pallas_data_term_cost_and_grad(
     data_mask_lr: np.ndarray | None = None,
     skip_extent_masks: bool = False,
     memo_extent_masks: bool = False,
+    composite_data_term: bool = False,
+    tv_stacked: bool = False,
 ):
     """Fused data term: ``(cost, grad)`` of ``s^2 sum_k ||D B M_k x - y_k||^2``.
 
@@ -598,6 +600,11 @@ def pallas_data_term_cost_and_grad(
     """
     if not interpret and jax.default_backend() == "cpu":
         interpret = True  # Mosaic is TPU-only; CPU (tests/dev) interprets.
+    if composite_data_term and dynamic_shifts is not None:
+        raise ValueError(
+            "composite_data_term applies to the static-shift kernel only "
+            "(the shift-generic taps are runtime data)."
+        )
     if phase_io:
         s2_in, c, hl, wl = x.shape
         if s2_in != int(scale) * int(scale):
@@ -677,6 +684,23 @@ def pallas_data_term_cost_and_grad(
             for i in range(kt.shape[0]) for j in range(kt.shape[1])
             if kt[i, j] != 0.0
         ]
+
+    # Composite mode (round-5 slice-graph attack): warp+blur collapsed into
+    # ONE merged tap table per frame — stage 1 + stage 2 become a single
+    # tap loop reading x planes straight onto the decimated grid, and the
+    # adjoint's two stages become one tap loop from the residual straight
+    # into the gradient phases (each adjoint tap lands on exactly one
+    # output phase). This removes the z1/g1 intermediates AND the per-stage
+    # extent masks; the composite is exact only AWAY from the global image
+    # border (the reference zeroes the warp output outside the image before
+    # the blur sees it), so this is an interior-exact perf-attribution /
+    # upper-bound mode like ``skip_extent_masks``.
+    if composite_data_term:
+        comp_fwd, comp_adj = [], []
+        for dx_, dy_ in shift_list:
+            fwd_t, adj_t = composite_taps(dx_, dy_, kernel)
+            comp_fwd.append(fwd_t)
+            comp_adj.append(adj_t)
 
     # Margins (all static; see _geometry). wr = warp reach; P = adjoint/
     # residual extension (multiple of s); za/ga = phase-plane margins in LR
@@ -968,7 +992,44 @@ def pallas_data_term_cost_and_grad(
                         acc = term if acc is None else acc + term
                 return acc
 
-        for k in range(k_frames):
+        if composite_data_term:
+            for k in range(k_frames):
+                # One merged tap loop: x planes straight onto the EXT grid.
+                z = None
+                for o_r, o_c, twv in comp_fwd[k]:
+                    qr, phr = _fdiv(o_r, s)
+                    qc, phc = _fdiv(o_c, s)
+                    r_lo = qe - pe + qr
+                    c_lo = qe - pe + qc
+                    assert 0 <= r_lo and r_lo + ext_r <= lrw_r, (r_lo, ext_r, lrw_r)
+                    assert 0 <= c_lo and c_lo + ext_c <= lrw_c, (c_lo, ext_c, lrw_c)
+                    sl = xw_ref[
+                        0, phr * s + phc, :,
+                        r_lo : r_lo + ext_r, c_lo : c_lo + ext_c,
+                    ]
+                    term = sl * jnp.asarray(twv, dtype)
+                    z = term if z is None else z + term
+                r = (z - yw_ref[0, k]) * mask_t[None]
+                if spectral_halo:
+                    r = r * halo_data_mask
+                r_center = r[:, pe : pe + tlr_r, pe : pe + tlr_c]
+                cost_acc = cost_acc + jnp.sum(
+                    (r_center * r_center).astype(jnp.float32)
+                )
+                # One merged adjoint tap loop: each tap lands on exactly one
+                # gradient phase (p = -o mod s), at LR offset -floor(-o/s).
+                for o_r, o_c, twv in comp_adj[k]:
+                    nqr, pr_ = _fdiv(-o_r, s)
+                    nqc, pc_ = _fdiv(-o_c, s)
+                    lo_r = pe - nqr
+                    lo_c = pe - nqc
+                    assert 0 <= lo_r and lo_r + tlr_r <= ext_r, (lo_r, tlr_r, ext_r)
+                    assert 0 <= lo_c and lo_c + tlr_c <= ext_c, (lo_c, tlr_c, ext_c)
+                    sl = r[:, lo_r : lo_r + tlr_r, lo_c : lo_c + tlr_c]
+                    term = sl * jnp.asarray(twv, dtype)
+                    cur = grad_out[pr_][pc_]
+                    grad_out[pr_][pc_] = term if cur is None else cur + term
+        for k in range(0 if composite_data_term else k_frames):
             # Stage 1: warp into z1 phase planes (masked to global extent).
             z1 = {}
             if dynamic:
@@ -1121,7 +1182,80 @@ def pallas_data_term_cost_and_grad(
         # nothing because the constants window is zero-padded there.
         tv_out = [[None for _ in range(s)] for _ in range(s)]
         tv_cost = jnp.zeros((), jnp.float32)
-        if use_tv:
+        if use_tv and tv_stacked and s > 1:
+            # Round-5 slice-graph attack, TV half: all s^2 phases ride ONE
+            # stacked [s, s, cb, nxt_r, nxt_c] value. The three neighbor
+            # accesses (x, x at +1 col, x at +1 row) are single 5D ref
+            # slices (identical LR offsets for every phase); the +1-HR-pixel
+            # neighbors and the shifted gradient contributions become
+            # 2-piece concats along the PHASE axes (wrap phase needs the
+            # +1-LR-offset slice) — ~25 stacked ops replace ~13 * s^2
+            # phase-wise ops, and elementwise work vectorizes over the whole
+            # stack in one Mosaic op each.
+            xs = xw_ref[0, :, :, qe - 1 : qe - 1 + nxt_r, qe - 1 : qe - 1 + nxt_c]
+            xs_c1 = xw_ref[0, :, :, qe - 1 : qe - 1 + nxt_r, qe : qe + nxt_c]
+            xs_r1 = xw_ref[0, :, :, qe : qe + nxt_r, qe - 1 : qe - 1 + nxt_c]
+            x5 = xs.reshape(s, s, cb, nxt_r, nxt_c)
+            x5c = xs_c1.reshape(s, s, cb, nxt_r, nxt_c)
+            x5r = xs_r1.reshape(s, s, cb, nxt_r, nxt_c)
+            # HR neighbor at +1 col: phase pc -> pc+1 (same LR col), phase
+            # s-1 wraps to pc=0 at LR col + 1.
+            neigh_c = jnp.concatenate([x5[:, 1:], x5c[:, :1]], axis=1)
+            neigh_r = jnp.concatenate([x5[1:], x5r[:1]], axis=0)
+            sh5 = (s, s, 1, nxt_r, nxt_c)
+            pr_io = jax.lax.broadcasted_iota(jnp.int32, sh5, 0)
+            pc_io = jax.lax.broadcasted_iota(jnp.int32, sh5, 1)
+            rid = jax.lax.broadcasted_iota(jnp.int32, sh5, 3)
+            cid = jax.lax.broadcasted_iota(jnp.int32, sh5, 4)
+            u = t0r - s + pr_io + s * rid
+            v = t0c - s + pc_io + s * cid
+            mdx = (v + 1 < w_glob).astype(dtype)
+            mdy = (u + 1 < h_glob).astype(dtype)
+            dx = (neigh_c - x5) * mdx
+            dy = (neigh_r - x5) * mdy
+            cst = cw_ref[0].reshape(s, s, cb, nxt_r, nxt_c)
+            rtv = jnp.abs(dx) + jnp.abs(dy)
+            fuse_z = tv_use_3d and c > 1
+            if fuse_z:
+                band = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, cb, 1, 1), 2
+                )
+                not_last = (band < cb - 1).astype(dtype)
+                xn = jnp.concatenate([x5[:, :, 1:], x5[:, :, :1]], axis=2)
+                dz = (xn - x5) * not_last
+                rtv = rtv + jnp.abs(dz)
+            g = 2.0 * cst * rtv
+            cr2 = cst * rtv * rtv
+            tv_cost = tv_cost + jnp.sum(
+                cr2[..., 1:, 1:].astype(jnp.float32)
+            )
+            gx5 = g * jnp.sign(dx)
+            gy5 = g * jnp.sign(dy)
+            # Shifted contribution gx(u, v-1): target phase pc takes source
+            # phase pc-1 at the same LR col (cols [1:1+tlr_c]); target pc=0
+            # takes source phase s-1 one LR col LEFT (cols [0:tlr_c]).
+            sh_gx = jnp.concatenate(
+                [gx5[:, s - 1 :, :, 1:, 0:tlr_c],
+                 gx5[:, : s - 1, :, 1:, 1 : 1 + tlr_c]],
+                axis=1,
+            )
+            sh_gy = jnp.concatenate(
+                [gy5[s - 1 :, :, :, 0:tlr_r, 1:],
+                 gy5[: s - 1, :, :, 1 : 1 + tlr_r, 1:]],
+                axis=0,
+            )
+            tvg5 = -(gx5 + gy5)[..., 1:, 1:] + sh_gx + sh_gy
+            if fuse_z:
+                gzi = (g * jnp.sign(dz))[..., 1:, 1:]
+                zfirst = jnp.zeros((s, s, 1, tlr_r, tlr_c), dtype)
+                tvg5 = tvg5 - gzi + jnp.concatenate(
+                    [zfirst, gzi[:, :, :-1]], axis=2
+                )
+            tv_stack = tvg5.reshape(s * s, cb, tlr_r, tlr_c)
+            for pr in range(s):
+                for pc in range(s):
+                    tv_out[pr][pc] = tv_stack[pr * s + pc]
+        elif use_tv:
             def xplane(pr, pc, dr, dc):
                 # Extended plane (origin at plane coord -1) of
                 # x(t0 + s*(i-1) + pr + dr, t0 + s*(j-1) + pc + dc).

@@ -136,6 +136,7 @@ def make_map_value_and_grad(
     phase_io: bool = False,
     pallas_skip_extent_masks: bool = False,
     pallas_memo_extent_masks: bool = False,
+    pallas_composite_data_term: bool = False,
 ) -> Callable:
     """Build ``value_and_grad(x, weights) -> (cost, grad)`` for the MAP objective.
 
@@ -268,6 +269,7 @@ def make_map_value_and_grad(
                 phase_io=phase_io,
                 skip_extent_masks=pallas_skip_extent_masks,
                 memo_extent_masks=pallas_memo_extent_masks,
+                composite_data_term=pallas_composite_data_term,
                 **fused_reg_kwargs,
             )
         if static_shifts is not None:

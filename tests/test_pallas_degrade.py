@@ -701,3 +701,85 @@ def test_kernel_shard_mode_matches_full_image(reg_kind):
     # shard split changes reduction order at f32 precision.
     assert abs(cost_sum - float(cost_full)) < 1e-6 * max(1.0, abs(float(cost_full)))
     assert matrices_equal(canvas, np.asarray(grad_full), 1e-9)
+
+
+def test_composite_data_term_interior_exact():
+    """Round-5 slice-graph attack: the merged warp+blur tap kernel
+    (composite_data_term) matches the two-stage kernel exactly wherever the
+    global image border cannot reach — same cost when the residual vanishes
+    on the border band, identical interior gradient always."""
+    import numpy as np
+
+    from super_resolution_tpu.models.image_model import degrade
+    from super_resolution_tpu.ops.blur import gaussian_kernel_2d
+    from super_resolution_tpu.ops.pallas.degrade import (
+        pallas_data_term_cost_and_grad,
+    )
+
+    rng = np.random.default_rng(0)
+    s, h, w = 4, 32, 32
+    x = np.zeros((1, h, w))
+    x[:, 8:-8, 8:-8] = rng.random((1, h - 16, w - 16))
+    x = jnp.asarray(x)
+    kern = np.asarray(gaussian_kernel_2d(3, 1.5))
+    shifts = [(0, 0), (1, 1), (0.5, -1.25), (1, 0)]
+    obs = jnp.stack([degrade(x, dx, dy, jnp.asarray(kern), s) for dx, dy in shifts])
+    pert = np.zeros(obs.shape)
+    pert[:, :, 2:-2, 2:-2] = 0.1  # residual vanishes on the border band
+    obs_p = obs + pert
+    c0, g0 = pallas_data_term_cost_and_grad(
+        x, obs_p, np.asarray(shifts), kern, s, tile=16
+    )
+    c1, g1 = pallas_data_term_cost_and_grad(
+        x, obs_p, np.asarray(shifts), kern, s, tile=16, composite_data_term=True
+    )
+    assert abs(float(c0) - float(c1)) < 1e-6 * max(1.0, abs(float(c0)))
+    assert float(jnp.max(jnp.abs(g0 - g1))) < 1e-6
+
+    # General problem: interior gradient identical, only the border band
+    # (documented interior-exact contract) may differ.
+    x2 = jnp.asarray(rng.random((1, h, w)))
+    obs2 = jnp.stack(
+        [degrade(x2, dx, dy, jnp.asarray(kern), s) for dx, dy in shifts]
+    ) + 0.1
+    _, g2 = pallas_data_term_cost_and_grad(
+        x2, obs2, np.asarray(shifts), kern, s, tile=16
+    )
+    _, g3 = pallas_data_term_cost_and_grad(
+        x2, obs2, np.asarray(shifts), kern, s, tile=16, composite_data_term=True
+    )
+    m = 8
+    assert float(jnp.max(jnp.abs((g2 - g3)[:, m:-m, m:-m]))) < 1e-6
+
+
+@pytest.mark.parametrize("s,c,use3d", [(4, 1, False), (2, 3, False), (2, 3, True)])
+def test_tv_stacked_matches_per_phase(s, c, use3d):
+    """The phase-stacked fused TV (round-5 slice-graph attack) is bit-exact
+    with the per-phase form on the gradient; the f32 cost accumulator only
+    differs by reduction order."""
+    import numpy as np
+
+    from super_resolution_tpu.models.image_model import degrade
+    from super_resolution_tpu.ops.blur import gaussian_kernel_2d
+    from super_resolution_tpu.ops.pallas.degrade import (
+        pallas_data_term_cost_and_grad,
+    )
+
+    rng = np.random.default_rng(1)
+    h = w = 32
+    x = jnp.asarray(rng.random((c, h, w)))
+    kern = np.asarray(gaussian_kernel_2d(3, 1.5))
+    shifts = [(0, 0), (1, 1), (0.5, -1.25), (1, 0)]
+    obs = jnp.stack(
+        [degrade(x, dx, dy, jnp.asarray(kern), s) for dx, dy in shifts]
+    ) + 0.05
+    tv_c = jnp.asarray(rng.random((c, h, w))) * 0.01
+    kw = dict(tv_constants=tv_c, tv_use_3d=use3d)
+    c0, g0 = pallas_data_term_cost_and_grad(
+        x, obs, np.asarray(shifts), kern, s, tile=16, **kw
+    )
+    c1, g1 = pallas_data_term_cost_and_grad(
+        x, obs, np.asarray(shifts), kern, s, tile=16, tv_stacked=True, **kw
+    )
+    assert abs(float(c0) - float(c1)) < 1e-5 * max(1.0, abs(float(c0)))
+    assert float(jnp.max(jnp.abs(g0 - g1))) < 1e-12
