@@ -137,6 +137,7 @@ def make_map_value_and_grad(
     pallas_skip_extent_masks: bool = False,
     pallas_memo_extent_masks: bool = False,
     pallas_composite_data_term: bool = False,
+    pallas_tv_stacked: bool = False,
 ) -> Callable:
     """Build ``value_and_grad(x, weights) -> (cost, grad)`` for the MAP objective.
 
@@ -261,6 +262,7 @@ def make_map_value_and_grad(
                     channel_block=pallas_channel_block, phase_io=phase_io,
                     skip_extent_masks=pallas_skip_extent_masks,
                     memo_extent_masks=pallas_memo_extent_masks,
+                    tv_stacked=pallas_tv_stacked,
                     **fused_reg_kwargs,
                 )
             return pallas_data_term_cost_and_grad(
@@ -270,6 +272,7 @@ def make_map_value_and_grad(
                 skip_extent_masks=pallas_skip_extent_masks,
                 memo_extent_masks=pallas_memo_extent_masks,
                 composite_data_term=pallas_composite_data_term,
+                tv_stacked=pallas_tv_stacked,
                 **fused_reg_kwargs,
             )
         if static_shifts is not None:

