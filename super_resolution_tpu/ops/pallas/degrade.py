@@ -104,6 +104,77 @@ def composite_taps(dx: float, dy: float, kernel: np.ndarray | None):
     return merge(_warp_taps(dx, dy), blur), merge(_warp_taps(-dx, -dy), blur_t)
 
 
+def composite_is_exact(static_shifts, kernel, scale: int,
+                       image_hw: tuple[int, int]) -> bool:
+    """True when the merged warp+blur (composite) kernel provably equals the
+    two-stage form for THIS geometry — i.e. the border band where the
+    reference zeroes the warp output before the blur (BORDER_CONSTANT
+    between operators, ``image_model.cpp``) is unreachable:
+
+    - forward: no decimated sample's blur tap lands outside the image at a
+      position whose warp taps read inside it;
+    - adjoint: no gradient pixel's reverse-warp tap lands outside the image
+      at a position whose transposed-blur taps hit an in-image LR sample.
+
+    Both are per-axis static tap arithmetic (the extent predicate is
+    axis-separable: a 2D position is outside iff either axis is outside,
+    and per-axis validity depends only on the same-axis tap component), so
+    the check is exact, not conservative. The flagship geometry (s=4,
+    3x3 blur, |shift| <= 1) qualifies: s exceeds the blur+warp reach.
+    """
+    s = int(scale)
+    if kernel is None:
+        b_r = b_c = bt_r = bt_c = [0]
+    else:
+        kk = np.asarray(kernel)
+        kh, kw = kk.shape
+        b_r = [i - kh // 2 for i in range(kh)]
+        b_c = [j - kw // 2 for j in range(kw)]
+        bt_r = [i - kw // 2 for i in range(kw)]   # kernel.T swaps axes
+        bt_c = [j - kh // 2 for j in range(kh)]
+
+    def axis_ok(n, b_offs, bt_offs, wf, wa):
+        if n % s:
+            return False
+        reach = max(
+            [abs(o) for o in b_offs + bt_offs + wf + wa] + [0]
+        )
+        m = reach // s + 3
+        qs = set(range(0, min(m, n // s))) | set(
+            range(max(0, n // s - m), n // s)
+        )
+        for q in qs:
+            for b in b_offs:
+                p = s * q + b
+                if 0 <= p < n:
+                    continue
+                for w0 in wf:
+                    if 0 <= p + w0 < n:
+                        return False
+        us = set(range(0, min(m * s, n))) | set(range(max(0, n - m * s), n))
+        for u in us:
+            for aw in wa:
+                p = u + aw
+                if 0 <= p < n:
+                    continue
+                for bt in bt_offs:
+                    v = p + bt
+                    if 0 <= v < n and v % s == 0:
+                        return False
+        return True
+
+    h, w = int(image_hw[0]), int(image_hw[1])
+    for sh in np.asarray(static_shifts):
+        dx, dy = float(sh[0]), float(sh[1])
+        wf = _warp_taps(dx, dy)
+        wa = _warp_taps(-dx, -dy)
+        if not axis_ok(h, b_r, bt_r, [t[0] for t in wf], [t[0] for t in wa]):
+            return False
+        if not axis_ok(w, b_c, bt_c, [t[1] for t in wf], [t[1] for t in wa]):
+            return False
+    return True
+
+
 def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 

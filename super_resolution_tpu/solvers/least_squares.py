@@ -345,13 +345,17 @@ def _minimize_linear_cg(
         alpha_exact = -dphi / jnp.where(pos, dhd, 1.0)
         # Drift refresh: every refresh_every-th iteration ACCEPT the trial
         # point outright — its (f, g) are true values, resetting the
-        # extrapolation error, at no extra evaluation. Also the fallback
-        # when curvature along d is nonpositive (possible only from
-        # sign-boundary crossings / rounding on this convex objective);
-        # keep the exact step when the trial failed to decrease f.
+        # extrapolation error, at no extra evaluation. The acceptance must
+        # be UNCONDITIONAL: gating it on f_t < f deadlocks once the
+        # extrapolated f drifts below the objective's true floor (every
+        # refresh then rejects and f free-falls — observed on-chip as a
+        # negative reported cost on the TV objective while x stayed sound).
+        # A rare ascent trial costs one iteration; PR+ recovers.
+        # Nonpositive curvature along d (sign-boundary crossings / rounding
+        # on this convex objective) also takes the trial when it decreased
+        # f, else stalls.
         refresh_due = (s.k + 1) % refresh_every == 0
-        took_trial = (refresh_due | ~pos) & (f_t < s.f)
-        stall = (~pos) & (~took_trial)
+        took_trial = refresh_due | ((~pos) & (f_t < s.f))
         alpha = jnp.where(
             took_trial, t, jnp.where(pos, alpha_exact, 0.0)
         )
@@ -361,7 +365,6 @@ def _minimize_linear_cg(
         f_lin = s.f + alpha * dphi + 0.5 * alpha * alpha * dhd
         g_new = jnp.where(took_trial, g_t, g_lin)
         f_new = jnp.where(took_trial, f_t, f_lin)
-        del stall  # folded into alpha == 0 below
 
         # Polak-Ribiere+ on the (possibly refreshed) gradients.
         beta = _vdot(g_new, g_new - s.g) / jnp.maximum(

@@ -136,8 +136,12 @@ def make_map_value_and_grad(
     phase_io: bool = False,
     pallas_skip_extent_masks: bool = False,
     pallas_memo_extent_masks: bool = False,
-    pallas_composite_data_term: bool = False,
-    pallas_tv_stacked: bool = False,
+    pallas_composite_data_term: bool | None = None,
+    # Phase-stacked fused TV (round 5): all s^2 phases ride one stacked 5D
+    # value inside the kernel — bit-exact on the gradient, measured +5.3%
+    # on the flagship solve in-session. Default ON for the production
+    # single-device path (the kernel falls back to per-phase at s == 1).
+    pallas_tv_stacked: bool = True,
 ) -> Callable:
     """Build ``value_and_grad(x, weights) -> (cost, grad)`` for the MAP objective.
 
@@ -247,6 +251,24 @@ def make_map_value_and_grad(
     else:
         kernel_np = None
         pallas_tile = 0
+
+    # AUTO composite (None): merge warp+blur into one tap table per frame
+    # whenever the static analysis proves it exact for this geometry
+    # (composite_is_exact — border band unreachable). One tap loop replaces
+    # the two-stage slice graph each way; bit-level tap-merge reordering
+    # only, no semantic change.
+    if pallas_composite_data_term is None:
+        if use_pallas and static_shifts is not None:
+            from super_resolution_tpu.ops.pallas.degrade import (
+                composite_is_exact,
+            )
+
+            pallas_composite_data_term = composite_is_exact(
+                static_shifts, kernel_np, scale,
+                (observations.shape[2] * scale, observations.shape[3] * scale),
+            )
+        else:
+            pallas_composite_data_term = False
 
     def data_cost_grad(x, **fused_reg_kwargs):
         if use_pallas:

@@ -783,3 +783,50 @@ def test_tv_stacked_matches_per_phase(s, c, use3d):
     )
     assert abs(float(c0) - float(c1)) < 1e-5 * max(1.0, abs(float(c0)))
     assert float(jnp.max(jnp.abs(g0 - g1))) < 1e-12
+
+
+def test_composite_is_exact_analysis():
+    """The static exactness analysis (composite_is_exact) is empirically
+    tight: geometries it approves give FULL-ARRAY equality between composite
+    and two-stage kernels; a geometry it rejects has a real border delta."""
+    import numpy as np
+
+    from super_resolution_tpu.models.image_model import degrade
+    from super_resolution_tpu.ops.blur import gaussian_kernel_2d
+    from super_resolution_tpu.ops.pallas.degrade import (
+        composite_is_exact,
+        pallas_data_term_cost_and_grad,
+    )
+
+    rng = np.random.default_rng(3)
+    kern = np.asarray(gaussian_kernel_2d(3, 1.5))
+
+    def run(s, shifts, h=32, w=32):
+        x = jnp.asarray(rng.random((1, h, w)))
+        obs = jnp.stack(
+            [degrade(x, dx, dy, jnp.asarray(kern), s) for dx, dy in shifts]
+        ) + 0.1
+        c0, g0 = pallas_data_term_cost_and_grad(
+            x, obs, np.asarray(shifts), kern, s, tile=16
+        )
+        c1, g1 = pallas_data_term_cost_and_grad(
+            x, obs, np.asarray(shifts), kern, s, tile=16,
+            composite_data_term=True,
+        )
+        return (
+            abs(float(c0) - float(c1)),
+            float(jnp.max(jnp.abs(g0 - g1))),
+            composite_is_exact(shifts, kern, s, (h, w)),
+        )
+
+    # Flagship-style integer shifts at s=4: analysis says exact -> equal
+    # (cost tolerance covers the f32 accumulator's reduction-order noise;
+    # the gradient equality is the tight check).
+    dc, dg, ok = run(4, [(0, 0), (1, 1), (0, 1), (1, 0)])
+    assert ok and dc < 1e-4 and dg < 1e-6, (dc, dg, ok)
+    # Same shifts at s=2: still exact per analysis -> equal.
+    dc, dg, ok = run(2, [(0, 0), (1, 1), (0, 1), (1, 0)])
+    assert ok and dc < 1e-4 and dg < 1e-6, (dc, dg, ok)
+    # Fractional shifts: analysis rejects -> a real border difference exists.
+    dc, dg, ok = run(4, [(0, 0), (0.5, -1.25)])
+    assert (not ok) and dg > 1e-6, (dc, dg, ok)
