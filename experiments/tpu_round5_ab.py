@@ -45,7 +45,8 @@ def _problem(dtype=np.float32, rgb=False, shifts=((0, 0), (1, 1), (0, 1), (1, 0)
 
 
 def flagship_variant(name, method="cg", composite=False, stacked=False,
-                     regs="tv", iters=50, repeats=3, dtype=np.float32):
+                     regs="tv", iters=50, repeats=3, dtype=np.float32,
+                     tile=None):
     """One full-solve measurement; returns the JSON dict (or error)."""
     import jax
     import jax.numpy as jnp
@@ -61,7 +62,8 @@ def flagship_variant(name, method="cg", composite=False, stacked=False,
         if regs == "tv"
         else [(BilateralTotalVariationRegularizer(3, 0.5), 0.01)]
     )
-    tile = (512, 1024) if regs == "tv" else (128, 1024)
+    if tile is None:
+        tile = (512, 1024) if regs == "tv" else (128, 1024)
     weights = (jnp.ones(gt.shape, dtype),)
     static_shifts = np.asarray(shifts)
 
@@ -134,6 +136,22 @@ def group_stacked():
                      composite=True, stacked=True)
 
 
+def group_bigtile():
+    """Composite mode frees the z1/g1 VMEM intermediates — probe whether
+    the freed headroom lets bigger tiles (fewer grid steps, less per-step
+    scheduling) win on the full production stack."""
+    flagship_variant("prod_512x1024", method="linear_cg", composite=True,
+                     stacked=True)
+    flagship_variant("prod_1024x1024", method="linear_cg", composite=True,
+                     stacked=True, tile=(1024, 1024))
+    flagship_variant("prod_512x2048", method="linear_cg", composite=True,
+                     stacked=True, tile=(512, 2048))
+    flagship_variant("prod_256x1024", method="linear_cg", composite=True,
+                     stacked=True, tile=(256, 1024))
+    flagship_variant("btv_256x1024", method="linear_cg", composite=True,
+                     regs="btv", tile=(256, 1024))
+
+
 def group_btv():
     flagship_variant("btv_cg", method="cg", regs="btv")
     flagship_variant("btv_linear_cg", method="linear_cg", regs="btv")
@@ -198,11 +216,13 @@ def group_bf16():
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--group", required=True,
-                   choices=["base", "composite", "stacked", "btv", "bf16"])
+                   choices=["base", "composite", "stacked", "btv", "bf16",
+                            "bigtile"])
     args = p.parse_args()
     _setup()
     {"base": group_base, "composite": group_composite,
-     "stacked": group_stacked, "btv": group_btv, "bf16": group_bf16}[args.group]()
+     "stacked": group_stacked, "btv": group_btv, "bf16": group_bf16,
+     "bigtile": group_bigtile}[args.group]()
 
 
 if __name__ == "__main__":

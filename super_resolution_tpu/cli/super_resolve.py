@@ -93,8 +93,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Inner-solver stop threshold (see above).")
     p.add_argument("--parameter_variation_threshold", type=float, default=1e-6,
                    help="Inner-solver stop threshold (see above).")
-    p.add_argument("--diff_mode", default="analytic", choices=["analytic", "autodiff"],
-                   help="Gradient mode: reference-parity analytic chain or jax.grad.")
+    p.add_argument("--diff_mode", default="analytic",
+                   choices=["analytic", "autodiff", "numerical"],
+                   help="Gradient mode: reference-parity analytic chain, "
+                        "jax.grad, or central-difference numerical "
+                        "differentiation (the reference's "
+                        "--use_numerical_differentiation; O(2n) cost "
+                        "evaluations per gradient — tiny problems only).")
     # Production kernel routing (default 'auto' = the fused Pallas/phase-plane
     # path on TPU backends; the CLI and bench.py run the SAME solver path).
     p.add_argument("--pallas", default="auto", choices=["auto", "on", "off"],

@@ -25,8 +25,10 @@ class MapSolverOptions:
     cost_decrease_threshold: float = 1e-6
     parameter_variation_threshold: float = 1e-6
     # 'analytic' = reference-parity hand-derived gradients;
-    # 'autodiff' = jax.grad of the cost (replaces the reference's
-    # use_numerical_differentiation validation mode with exact derivatives).
+    # 'autodiff' = jax.grad of the cost (machine-precision derivatives);
+    # 'numerical' = central differences (the reference's
+    # use_numerical_differentiation, map_solver.h:64-69 — O(2n) cost
+    # evaluations per gradient, tiny validation problems only).
     diff_mode: str = "analytic"
     split_channels: bool = False
     # Use the fused Pallas TPU kernel for the data term. ``None`` (default)

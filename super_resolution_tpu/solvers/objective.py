@@ -166,7 +166,7 @@ def make_map_value_and_grad(
     PERF ATTRIBUTION ONLY (experiments/tpu_roofline*.py): the result is
     numerically wrong at image borders.
     """
-    if diff_mode not in ("analytic", "autodiff"):
+    if diff_mode not in ("analytic", "autodiff", "numerical"):
         raise ValueError(f"Unknown diff_mode {diff_mode!r}")
 
     regs = tuple(regularizers)
@@ -322,6 +322,23 @@ def make_map_value_and_grad(
 
         value_and_grad.prepare = lambda weights: (
             lambda x: vg(x, tuple(weights))
+        )
+        return value_and_grad
+
+    if diff_mode == "numerical":
+        # The reference's --use_numerical_differentiation end to end
+        # (map_solver.h:64-69, alglib_objective.cpp:77-139): central
+        # differences of the cost, O(2n) evaluations per gradient — a
+        # validation mode for tiny problems, exactly as infeasible at scale
+        # as the reference's (which the reference also exposes anyway).
+        def value_and_grad(x, weights=()):
+            w = tuple(weights)
+            cost = cost_fn(x, w)
+            grad = finite_difference_grad(lambda z: cost_fn(z, w), x)
+            return cost, grad
+
+        value_and_grad.prepare = lambda weights: (
+            lambda x: value_and_grad(x, tuple(weights))
         )
         return value_and_grad
 

@@ -301,3 +301,15 @@ def test_real_icon_linear_cg_matches_wolfe_cg(test_data_dir):
     # still favor cg when adaptive thresholds stop its inner solves earlier.
     assert epi["linear_cg"] < epi["cg"]
     assert epi["linear_cg"] < 1.35
+
+
+def test_numerical_diff_mode_solves_small_data():
+    """diff_mode='numerical' is the reference's user-selectable
+    --use_numerical_differentiation end to end (map_solver.h:64-69):
+    central-difference gradients drive the same exact recovery on the tiny
+    problem (the only scale it is feasible at — there and here)."""
+    low_res_images, model, ground_truth = _small_data_problem()
+    opts = IRLSMapSolverOptions(diff_mode="numerical")
+    solver = IRLSMapSolver(opts, model, low_res_images)
+    result = solver.solve(np.zeros((1, 4, 4)))
+    assert matrices_equal(np.asarray(result)[0], ground_truth, SOLVER_TOL)
