@@ -347,7 +347,8 @@ def _geometry(warp_taps, warp_adj_taps, kernel, s: int, tile,
     )
 
 
-def _estimate_vmem(g, s: int, c: int, k: int, use_tv: bool, use_btv: bool) -> int:
+def _estimate_vmem(g, s: int, c: int, k: int, use_tv: bool, use_btv: bool,
+                   composite: bool = False) -> int:
     """Estimated live VMEM (bytes) for one grid step of the fused kernel.
 
     Areas are padded to the f32 (8, 128) sublane/lane register tiling —
@@ -365,9 +366,11 @@ def _estimate_vmem(g, s: int, c: int, k: int, use_tv: bool, use_btv: bool) -> in
     )
     outputs = s2 * c * area("tlr")
     inter = (
-        s2 * c * area("n1")            # z1 planes
-        + c * area("ext_lr")           # residual
-        + s2 * c * area("ng1")         # g1 planes
+        # Composite mode has no z1/g1 intermediates (one merged tap loop
+        # each way) — the freed headroom lets bigger tiles fit.
+        (0 if composite else s2 * c * area("n1"))       # z1 planes
+        + c * area("ext_lr")                             # residual
+        + (0 if composite else s2 * c * area("ng1"))     # g1 planes
         + s2 * c * area("tlr")         # gradient accumulator
         + (3 * s2 * c * area("nxt") if use_tv else 0)
         + (5 * s2 * c * area("nb") if use_btv else 0)
@@ -438,6 +441,7 @@ def choose_tile(
     shift_bound: float | None = None,
     image_hw: tuple[int, int] | None = None,
     channel_grid: bool = False,
+    composite: bool = False,
 ):
     """Pick a kernel tile whose estimated live VMEM fits the ~16 MB scoped
     limit with headroom.
@@ -508,7 +512,8 @@ def choose_tile(
         for cand in ladder:
             g = _geometry(wt, wat, kernel, s, cand, use_btv, btv_range,
                           wr_override=wr_override)
-            if _estimate_vmem(g, s, c, k, use_tv, use_btv) <= vmem_budget_bytes:
+            if _estimate_vmem(g, s, c, k, use_tv, use_btv,
+                              composite=composite) <= vmem_budget_bytes:
                 return g["tile"]
         return (min_tile, min_tile)
 
@@ -516,7 +521,8 @@ def choose_tile(
     while tile > min_tile:
         g = _geometry(wt, wat, kernel, s, tile, use_btv, btv_range,
                       wr_override=wr_override)
-        if _estimate_vmem(g, s, c, k, use_tv, use_btv) <= vmem_budget_bytes:
+        if _estimate_vmem(g, s, c, k, use_tv, use_btv,
+                          composite=composite) <= vmem_budget_bytes:
             return g["tile"][0]
         tile = _round_up(max(tile // 2, min_tile), s)
     return min_tile
@@ -534,6 +540,7 @@ def choose_channel_block(
     shift_bound: float | None = None,
     vmem_budget_bytes: int | None = None,
     image_hw: tuple[int, int] | None = None,
+    composite: bool = False,
 ) -> tuple[int, tuple[int, int]]:
     """Pick ``(channel_block, tile)`` for a multi-band image: the largest
     divisor of ``num_channels`` whose VMEM footprint keeps the spatial tile
@@ -552,7 +559,7 @@ def choose_channel_block(
             cb, scale, num_frames, static_shifts, kernel, use_tv=use_tv,
             use_btv=use_btv, btv_range=btv_range,
             vmem_budget_bytes=vmem_budget_bytes, shift_bound=shift_bound,
-            image_hw=image_hw, channel_grid=True,
+            image_hw=image_hw, channel_grid=True, composite=composite,
         )
 
     target = tile_for(1)

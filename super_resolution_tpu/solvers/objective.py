@@ -215,9 +215,24 @@ def make_map_value_and_grad(
         from super_resolution_tpu.ops.pallas.degrade import (
             choose_channel_block,
             choose_tile,
+            composite_is_exact,
         )
 
         kernel_np = None if blur_kernel is None else _np.asarray(blur_kernel)
+        # AUTO composite (None): merge warp+blur into one tap table per
+        # frame whenever the static analysis proves it exact for this
+        # geometry (border band unreachable). Resolved BEFORE the tile
+        # choice: composite drops the z1/g1 intermediates, so the VMEM
+        # model admits bigger tiles.
+        if pallas_composite_data_term is None:
+            pallas_composite_data_term = (
+                static_shifts is not None
+                and composite_is_exact(
+                    static_shifts, kernel_np, scale,
+                    (observations.shape[2] * scale,
+                     observations.shape[3] * scale),
+                )
+            )
         explicit = (
             isinstance(pallas_tile, (tuple, list)) or pallas_tile > 0
         )  # (rows, cols) tuples are always explicit
@@ -235,6 +250,7 @@ def make_map_value_and_grad(
                     shift_bound=pallas_shift_bound if pallas_dynamic else None,
                     image_hw=(observations.shape[2] * scale,
                               observations.shape[3] * scale),
+                    composite=bool(pallas_composite_data_term),
                 )
             else:
                 # VMEM-aware automatic tile; an explicit pallas_tile overrides
@@ -247,28 +263,14 @@ def make_map_value_and_grad(
                     shift_bound=pallas_shift_bound if pallas_dynamic else None,
                     image_hw=(observations.shape[2] * scale,
                               observations.shape[3] * scale),
+                    composite=bool(pallas_composite_data_term),
                 )
     else:
         kernel_np = None
         pallas_tile = 0
 
-    # AUTO composite (None): merge warp+blur into one tap table per frame
-    # whenever the static analysis proves it exact for this geometry
-    # (composite_is_exact — border band unreachable). One tap loop replaces
-    # the two-stage slice graph each way; bit-level tap-merge reordering
-    # only, no semantic change.
     if pallas_composite_data_term is None:
-        if use_pallas and static_shifts is not None:
-            from super_resolution_tpu.ops.pallas.degrade import (
-                composite_is_exact,
-            )
-
-            pallas_composite_data_term = composite_is_exact(
-                static_shifts, kernel_np, scale,
-                (observations.shape[2] * scale, observations.shape[3] * scale),
-            )
-        else:
-            pallas_composite_data_term = False
+        pallas_composite_data_term = False  # non-pallas paths: irrelevant
 
     def data_cost_grad(x, **fused_reg_kwargs):
         if use_pallas:
