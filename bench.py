@@ -675,6 +675,11 @@ def bench_video(dtype=np.float32, num_frames=8, repeats=1):
             gradient_norm_threshold=0.0, parameter_variation_threshold=0.0,
             cost_decrease_threshold=0.0,
             pallas_shift_bound=2.0,
+            # One dispatch per window: the whole 2-IRLS-iteration solve as
+            # a single fused graph (each host-loop IRLS iteration costs a
+            # ~25 ms tunnel round trip — a large slice of a 500^2 frame).
+            fused_irls=True,
+            least_squares_solver="linear_cg",
         ),
     )
 

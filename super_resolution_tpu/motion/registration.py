@@ -225,8 +225,14 @@ def robust_phase_correlation_shift(
     Returns ``(dx, dy, inlier_mask)`` with the mask ordered row-major over
     blocks.
     """
-    ref = jnp.asarray(reference)
-    img = jnp.asarray(frame)
+    if _complex_fft_supported():
+        ref = jnp.asarray(reference)
+        img = jnp.asarray(frame)
+    else:
+        # Host-side end to end on the numpy-FFT fallback (see
+        # translational_registration): never bounce frames off the tunnel.
+        ref = np.asarray(reference)
+        img = np.asarray(frame)
     if ref.ndim == 3:
         ref = ref[0]
     if img.ndim == 3:
@@ -289,8 +295,11 @@ def robust_phase_correlation_shift(
             if not inliers[i * gx + j]:
                 sl = (slice(i * bh, (i + 1) * bh), slice(j * bw, (j + 1) * bw))
                 repaired[sl] = warped[sl]
+    repaired_arr = (
+        repaired if not _complex_fft_supported() else jnp.asarray(repaired)
+    )
     dx, dy = phase_correlation_shift(
-        ref, jnp.asarray(repaired), upsample_factor,
+        ref, repaired_arr, upsample_factor,
         num_refinement_iterations, lowpass_sigma,
     )
     return float(dx), float(dy), inliers
@@ -310,9 +319,15 @@ def translational_registration(
     (:func:`robust_phase_correlation_shift`) — the RANSAC-equivalent for
     data with corrupted regions or locally violated translation models.
     """
+    # On the numpy-FFT fallback (axon: no complex ops on-device) frames must
+    # stay HOST-side: a jnp.asarray here uploads every frame through the
+    # tunnel only for the host FFTs to pull them straight back (~25-50 ms
+    # RPC per transfer — measured as the video sliding-window fps bound).
+    on_host = not _complex_fft_supported()
+
     def chan0(img):
         arr = getattr(img, "array", img)
-        arr = jnp.asarray(arr)
+        arr = np.asarray(arr) if on_host else jnp.asarray(arr)
         return arr[0] if arr.ndim == 3 else arr
 
     frames = [chan0(img) for img in images]
