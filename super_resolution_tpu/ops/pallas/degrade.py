@@ -598,6 +598,7 @@ def pallas_data_term_cost_and_grad(
     memo_extent_masks: bool = False,
     composite_data_term: bool = False,
     tv_stacked: bool = False,
+    btv_stacked: bool = False,
 ):
     """Fused data term: ``(cost, grad)`` of ``s^2 sum_k ||D B M_k x - y_k||^2``.
 
@@ -1408,7 +1409,126 @@ def pallas_data_term_cost_and_grad(
         # source q (except the image origin) pushes -T_ij(q) to q+(i,j).
         btv_out = [[None for _ in range(s)] for _ in range(s)]
         reg_cost = jnp.zeros((), jnp.float32)
-        if use_btv:
+        if use_btv and btv_stacked and s > 1:
+            # Round-5 slice-graph attack, BTV half (mirrors the stacked TV
+            # form): all s^2 phases ride one [s, s, cb, nb_r, nb_c] stacked
+            # value. Each window offset (i, j) needs ONE neighbor stack,
+            # built from <=4 cached base 5D slices via 2-piece concats
+            # along the phase axes (wrapped phases read the +1-LR-offset
+            # base) — replacing s^2 per-phase slices per offset; all
+            # elementwise work vectorizes across the stack.
+            P = btv_range
+            a = btv_decay
+            bm = _btv_margin(P, s)
+            nb_r, nb_c = tlr_r + bm, tlr_c + bm
+            base_cache = {}
+
+            def base(qr, qc):
+                if (qr, qc) not in base_cache:
+                    r_lo = qe - bm + qr
+                    c_lo = qe - bm + qc
+                    assert 0 <= r_lo and r_lo + nb_r <= lrw_r, (r_lo,)
+                    assert 0 <= c_lo and c_lo + nb_c <= lrw_c, (c_lo,)
+                    base_cache[(qr, qc)] = xw_ref[
+                        0, :, :, r_lo : r_lo + nb_r, c_lo : c_lo + nb_c
+                    ].reshape(s, s, cb, nb_r, nb_c)
+                return base_cache[(qr, qc)]
+
+            def neighbor(i, j):
+                # Stack of x(p + (i, j)) over all phases p: phase-row pr
+                # reads plane (pr + i) mod s at LR row offset (pr + i) // s.
+                qr0, im = divmod(i, s)
+                qc0, jm = divmod(j, s)
+
+                def rows(qc_off, col_take):
+                    if im == 0:
+                        return base(qr0, qc_off)[:, col_take]
+                    return jnp.concatenate([
+                        base(qr0, qc_off)[im:, col_take],
+                        base(qr0 + 1, qc_off)[:im, col_take],
+                    ], axis=0)
+
+                if jm == 0:
+                    return rows(qc0, slice(None))
+                return jnp.concatenate(
+                    [rows(qc0, slice(jm, None)), rows(qc0 + 1, slice(0, jm))],
+                    axis=1,
+                )
+
+            sh5b = (s, s, 1, nb_r, nb_c)
+            pr_io = jax.lax.broadcasted_iota(jnp.int32, sh5b, 0)
+            pc_io = jax.lax.broadcasted_iota(jnp.int32, sh5b, 1)
+            ridb = jax.lax.broadcasted_iota(jnp.int32, sh5b, 3)
+            cidb = jax.lax.broadcasted_iota(jnp.int32, sh5b, 4)
+            ub = t0r - s * bm + pr_io + s * ridb
+            vb = t0c - s * bm + pc_io + s * cidb
+
+            def mkmask(i, j):
+                return ((ub + i < h_glob) & (vb + j < w_glob)).astype(dtype)
+
+            x00 = base(0, 0)
+            racc = None
+            for i in range(P + 1):
+                for j in range(P + 1):
+                    if i == 0 and j == 0:
+                        continue
+                    d = (x00 - neighbor(i, j)) * mkmask(i, j)
+                    term = jnp.asarray(a ** (i + j), dtype) * jnp.abs(d)
+                    racc = term if racc is None else racc + term
+            cst5 = cb_ref[0].reshape(s, s, cb, nb_r, nb_c)
+            reg_cost = reg_cost + jnp.sum(
+                (cst5 * racc * racc)[..., bm:, bm:].astype(jnp.float32)
+            )
+            gpl5 = 2.0 * cst5 * racc
+
+            om5 = 1.0 - ((ub == 0) & (vb == 0)).astype(dtype)
+            btv_acc = None
+
+            def shifted_target(t5, i, j):
+                # Source phase p pushes to target p + (i, j): the inverse
+                # phase shift of :func:`neighbor`, with the LR slice pulled
+                # one step up-left for the wrapped groups.
+                qr0, im = divmod(i, s)
+                qc0, jm = divmod(j, s)
+
+                def cols(src, r_start):
+                    if jm == 0:
+                        return src[
+                            :, :, :, r_start : r_start + tlr_r,
+                            bm - qc0 : bm - qc0 + tlr_c,
+                        ]
+                    return jnp.concatenate([
+                        src[
+                            :, s - jm :, :, r_start : r_start + tlr_r,
+                            bm - qc0 - 1 : bm - qc0 - 1 + tlr_c,
+                        ],
+                        src[
+                            :, : s - jm, :, r_start : r_start + tlr_r,
+                            bm - qc0 : bm - qc0 + tlr_c,
+                        ],
+                    ], axis=1)
+
+                if im == 0:
+                    return cols(t5, bm - qr0)
+                return jnp.concatenate([
+                    cols(t5[s - im :], bm - qr0 - 1),
+                    cols(t5[: s - im], bm - qr0),
+                ], axis=0)
+
+            for i in range(P):
+                for j in range(P):
+                    if i == 0 and j == 0:
+                        continue  # D_00 = 0: zero self term, overlap skipped
+                    d = (x00 - neighbor(i, j)) * mkmask(i, j)
+                    tt = jnp.asarray(a ** (i + j), dtype) * gpl5 * jnp.sign(d)
+                    contrib = tt[..., bm:, bm:] - shifted_target(tt * om5, i, j)
+                    btv_acc = contrib if btv_acc is None else btv_acc + contrib
+            if btv_acc is not None:
+                btv_stack = btv_acc.reshape(s * s, cb, tlr_r, tlr_c)
+                for pr in range(s):
+                    for pc in range(s):
+                        btv_out[pr][pc] = btv_stack[pr * s + pc]
+        elif use_btv:
             P = btv_range
             a = btv_decay
             bm = _btv_margin(P, s)

@@ -142,6 +142,9 @@ def make_map_value_and_grad(
     # on the flagship solve in-session. Default ON for the production
     # single-device path (the kernel falls back to per-phase at s == 1).
     pallas_tv_stacked: bool = True,
+    # Same restructuring for the fused BTV window terms (one neighbor stack
+    # per offset instead of s^2 per-phase slices).
+    pallas_btv_stacked: bool = True,
 ) -> Callable:
     """Build ``value_and_grad(x, weights) -> (cost, grad)`` for the MAP objective.
 
@@ -287,6 +290,7 @@ def make_map_value_and_grad(
                     skip_extent_masks=pallas_skip_extent_masks,
                     memo_extent_masks=pallas_memo_extent_masks,
                     tv_stacked=pallas_tv_stacked,
+                    btv_stacked=pallas_btv_stacked,
                     **fused_reg_kwargs,
                 )
             return pallas_data_term_cost_and_grad(
@@ -297,6 +301,7 @@ def make_map_value_and_grad(
                 memo_extent_masks=pallas_memo_extent_masks,
                 composite_data_term=pallas_composite_data_term,
                 tv_stacked=pallas_tv_stacked,
+                btv_stacked=pallas_btv_stacked,
                 **fused_reg_kwargs,
             )
         if static_shifts is not None:

@@ -830,3 +830,38 @@ def test_composite_is_exact_analysis():
     # Fractional shifts: analysis rejects -> a real border difference exists.
     dc, dg, ok = run(4, [(0, 0), (0.5, -1.25)])
     assert (not ok) and dg > 1e-6, (dc, dg, ok)
+
+
+@pytest.mark.parametrize("s,P", [(4, 3), (2, 3), (4, 1), (3, 2)])
+def test_btv_stacked_matches_per_phase(s, P):
+    """The phase-stacked fused BTV (round 5) is bit-exact with the per-phase
+    form on the gradient (f32 cost accumulator differs only by reduction
+    order), including non-power-of-two scales and window ranges crossing
+    multiple LR cells."""
+    import numpy as np
+
+    from super_resolution_tpu.models.image_model import degrade
+    from super_resolution_tpu.ops.blur import gaussian_kernel_2d
+    from super_resolution_tpu.ops.pallas.degrade import (
+        pallas_data_term_cost_and_grad,
+    )
+
+    rng = np.random.default_rng(2)
+    h = w = 24 if s == 3 else 32
+    tile = 8 if s == 3 else 16
+    x = jnp.asarray(rng.random((1, h, w)))
+    kern = np.asarray(gaussian_kernel_2d(3, 1.5))
+    shifts = [(0, 0), (1, 1), (0.5, -1.25), (1, 0)]
+    obs = jnp.stack(
+        [degrade(x, dx, dy, jnp.asarray(kern), s) for dx, dy in shifts]
+    ) + 0.05
+    cst = jnp.asarray(rng.random((1, h, w))) * 0.01
+    kw = dict(btv_constants=cst, btv_range=P, btv_decay=0.5)
+    c0, g0 = pallas_data_term_cost_and_grad(
+        x, obs, np.asarray(shifts), kern, s, tile=tile, **kw
+    )
+    c1, g1 = pallas_data_term_cost_and_grad(
+        x, obs, np.asarray(shifts), kern, s, tile=tile, btv_stacked=True, **kw
+    )
+    assert abs(float(c0) - float(c1)) < 1e-4
+    assert float(jnp.max(jnp.abs(g0 - g1))) < 1e-11
