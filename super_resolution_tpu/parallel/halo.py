@@ -369,6 +369,11 @@ def make_tiled_pallas_vg(
             tile=pallas_tile, interpret=interpret, phase_io=phase_io,
             origin=_origin(), global_hw=(h_glob, w_glob),
             data_mask_lr=jnp.asarray(mask_np, xp.dtype),
+            # Stacked TV/BTV are bit-exact and origin-aware (their masks run
+            # in global coordinates); the composite tap table stays OFF here
+            # — its exactness proof assumes zeros beyond the global image,
+            # and shard windows carry real halo content.
+            tv_stacked=True, btv_stacked=True,
         )
         if dynamic:
             cost, grad = pallas_data_term_cost_and_grad(

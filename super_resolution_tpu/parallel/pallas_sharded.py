@@ -219,11 +219,24 @@ def make_band_sharded_pallas_vg(
     w_spec = P(BAND_AXIS, None, None)  # IRLS weights stay image-space
     obs_spec = P(None, BAND_AXIS, None, None)
 
+    # Round-5 kernel variants reach the sharded path too: phase-stacked
+    # TV/BTV always (bit-exact), the composite tap table when the static
+    # analysis proves it exact for the GLOBAL spatial geometry (band
+    # sharding never changes the spatial borders).
+    from super_resolution_tpu.ops.pallas.degrade import composite_is_exact
+
+    _composite = composite_is_exact(
+        static_shifts, kernel_np, scale,
+        (observations.shape[2] * scale, observations.shape[3] * scale),
+    )
+
     def _kernel(x_local, obs_local, **reg_kwargs):
         cost, grad = pallas_data_term_cost_and_grad(
             x_local, obs_local, static_shifts, kernel_np, scale,
             tile=pallas_tile, interpret=interpret,
-            channel_block=channel_block, phase_io=phase_io, **reg_kwargs,
+            channel_block=channel_block, phase_io=phase_io,
+            composite_data_term=_composite,
+            tv_stacked=True, btv_stacked=True, **reg_kwargs,
         )
         # The one collective per evaluation: scalar cost over the band axis.
         return lax.psum(cost, BAND_AXIS), grad
@@ -467,7 +480,8 @@ def make_frame_sharded_pallas_vg(
             x_local, obs_local, None, kernel_np, scale,
             tile=pallas_tile, interpret=interpret,
             dynamic_shifts=shifts_local, shift_bound=shift_bound,
-            channel_block=channel_block, phase_io=phase_io, **reg_kwargs,
+            channel_block=channel_block, phase_io=phase_io,
+            tv_stacked=True, btv_stacked=True, **reg_kwargs,
         )
         # Collectives: scalar cost over every sharded axis; the per-frame
         # gradient partial sums over the frame axis (grad stays band-local).
