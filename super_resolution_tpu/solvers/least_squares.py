@@ -269,6 +269,8 @@ def _minimize_linear_cg(
     eps_x: jnp.ndarray,
     refresh_every: int,
     log_iterations: bool,
+    check_g_static: bool = True,
+    check_x_static: bool = True,
 ) -> MinimizeResult:
     """Exact-step CG for the (piecewise-)quadratic IRLS inner subproblem.
 
@@ -320,26 +322,38 @@ def _minimize_linear_cg(
     def cond(s: _LinCGState):
         return (s.k < max_iterations) & (~s.converged)
 
+    # Disabled thresholds (the fixed-iteration bench mode) statically drop
+    # their reduction passes from the loop body — with the eval-count
+    # already down to 1/iteration, every extra full-array reduce in the
+    # body is a measurable slice of the iteration (paired on-chip A/B:
+    # the update algebra, not the evaluations, was eating the eval-count
+    # win on the TV flagship).
+    check_g = check_g_static
+    check_x = check_x_static
+
     def body(s: _LinCGState):
+        # One fused pass of second-order scalars off the carried arrays:
+        # <g,d> and <g,g> (the latter serves the descent restart, the k=0
+        # bootstrap scale, AND the PR+ denominator).
         dphi = _vdot(s.g, s.d).astype(dtype)
+        gg = _vdot(s.g, s.g).astype(dtype)
         # Restart with steepest descent if d is not a descent direction.
         bad_dir = dphi >= 0
         d = jnp.where(bad_dir, -s.g, s.d)
-        dphi = jnp.where(bad_dir, -_vdot(s.g, s.g).astype(dtype), dphi)
+        dphi = jnp.where(bad_dir, -gg, dphi)
 
-        gnorm = _norm(s.g).astype(dtype)
         # Trial scale for the secant: the previous accepted step is the right
         # order of magnitude (keeps the gradient difference well above
         # rounding); 1/|g| bootstraps iteration 0.
         t = jnp.where(
             s.k == 0,
-            1.0 / jnp.maximum(gnorm, 1e-12),
+            1.0 / jnp.maximum(jnp.sqrt(gg), 1e-12),
             jnp.clip(s.alpha_prev, 1e-12, 1e12),
         )
         f_t, g_t = value_and_grad(s.x + t * d)
         f_t = f_t.astype(dtype)
-        hd = (g_t - s.g) / t
-        dhd = _vdot(d, hd).astype(dtype)
+        dg = g_t - s.g                       # = t * H d for quadratics
+        dhd = (_vdot(d, dg) / t).astype(dtype)
 
         pos = dhd > tiny
         alpha_exact = -dphi / jnp.where(pos, dhd, 1.0)
@@ -360,16 +374,18 @@ def _minimize_linear_cg(
             took_trial, t, jnp.where(pos, alpha_exact, 0.0)
         )
 
+        # SCALAR blend covers every case with no full-array selects:
+        # g_new = g + c*dg is the affine extrapolation for c = alpha/t and
+        # EXACTLY g_t for c = 1 (the accepted trial).
+        c = jnp.where(took_trial, jnp.ones((), dtype), alpha / t)
         x_new = s.x + alpha * d
-        g_lin = s.g + alpha * hd
+        g_new = s.g + c * dg
         f_lin = s.f + alpha * dphi + 0.5 * alpha * alpha * dhd
-        g_new = jnp.where(took_trial, g_t, g_lin)
         f_new = jnp.where(took_trial, f_t, f_lin)
 
-        # Polak-Ribiere+ on the (possibly refreshed) gradients.
-        beta = _vdot(g_new, g_new - s.g) / jnp.maximum(
-            _vdot(s.g, s.g), tiny
-        )
+        # Polak-Ribiere+: g_new - g = c*dg, so the numerator reuses the dg
+        # array instead of materializing a fresh difference.
+        beta = c * _vdot(g_new, dg) / jnp.maximum(gg, tiny)
         beta = jnp.maximum(beta, 0.0).astype(dtype)
         d_new = -g_new + beta * d
 
@@ -380,13 +396,14 @@ def _minimize_linear_cg(
             )
 
         stalled = alpha == 0.0
-        step_norm = jnp.abs(alpha) * _norm(d)
-        g_small = _norm(g_new) <= eps_g
         f_small = jnp.abs(s.f - f_new) <= eps_f * jnp.maximum(
             jnp.maximum(jnp.abs(s.f), jnp.abs(f_new)), 1.0
         )
-        x_small = step_norm <= eps_x
-        converged = g_small | f_small | x_small | stalled
+        converged = f_small | stalled
+        if check_g:
+            converged = converged | (_norm(g_new) <= eps_g)
+        if check_x:
+            converged = converged | (jnp.abs(alpha) * _norm(d) <= eps_x)
 
         return _LinCGState(
             k=s.k + 1,
@@ -485,6 +502,11 @@ def minimize(
         return _minimize_linear_cg(
             value_and_grad, x0, max_iterations, eps_g, eps_f, eps_x,
             max(1, linear_cg_refresh_every), log_iterations,
+            # Static Python thresholds decide whether the reduction passes
+            # exist in the loop body at all (the jnp eps values may be
+            # tracers under an outer jit).
+            check_g_static=float(gradient_norm_threshold) > 0.0,
+            check_x_static=float(parameter_variation_threshold) > 0.0,
         )
     ls_config = line_search or LineSearchConfig(c2=0.4 if method == "cg" else 0.9)
 
