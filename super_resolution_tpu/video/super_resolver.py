@@ -36,6 +36,7 @@ class VideoSuperResolver:
         btv_spatial_decay: float = 0.7,
         regularization_parameter: float = 0.01,
         solver_options: IRLSMapSolverOptions | None = None,
+        robust_registration: bool = False,
     ):
         self.scale = scale
         self.temporal_window = temporal_window
@@ -44,8 +45,15 @@ class VideoSuperResolver:
         self.btv_scale_range = btv_scale_range
         self.btv_spatial_decay = btv_spatial_decay
         self.regularization_parameter = regularization_parameter
+        # Per-block consensus registration (the RANSAC analog) for streams
+        # with corrupted regions or locally violated translation.
+        self.robust_registration = robust_registration
         self.solver_options = solver_options or IRLSMapSolverOptions(
-            max_num_irls_iterations=3, max_num_solver_iterations=25
+            max_num_irls_iterations=3, max_num_solver_iterations=25,
+            # Video is not a reference-parity surface (the reference's video
+            # wrapper never ran): default to the production exact-step
+            # solver — one objective evaluation per iteration.
+            least_squares_solver="linear_cg",
         )
 
     def super_resolve_frame(self, frames: np.ndarray, center_index: int) -> np.ndarray:
@@ -60,7 +68,9 @@ class VideoSuperResolver:
         ordered = np.concatenate([center[None], np.delete(window, min(center_index - lo, window.shape[0] - 1), axis=0)])
         # Registration shifts are in LR pixels; the image model warps the HR
         # estimate — convert to HR pixels (x scale).
-        seq_lr = translational_registration(list(ordered))
+        seq_lr = translational_registration(
+            list(ordered), robust=self.robust_registration
+        )
         from super_resolution_tpu.motion.motion_shift import MotionShift
 
         seq = MotionShiftSequence(
